@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark: events warped + accumulated per second per chip.
+
+Measures the flagship hot kernel — first-order rotational warp + bilinear
+matmul-vote accumulation + Gaussian blur into a DAVIS240-sized IWE (the
+reference's front-end hot loop, local_image_warped_events.cpp:59-170) — on
+whatever device JAX provides (TPU in production, CPU locally).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 100e6 events/s/chip (BASELINE.md north star).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cmax_slam_tpu.io import synthetic
+    from cmax_slam_tpu.ops import warp_local
+
+    W, H = 240, 180
+    FX = FY = 180.0
+    CX, CY = W / 2, H / 2
+    cam = warp_local.CameraParams(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+
+    n_events = 1 << 20  # 1M events per IWE evaluation
+    rng = np.random.default_rng(0)
+    omega_true = np.array([1.2, -2.0, 3.0])
+    ev = synthetic.rotating_camera_events(
+        rng, n_events, 0.2, omega_true, FX, FY, CX, CY, W, H, n_points=400
+    )
+    lut = jnp.asarray(synthetic.identity_lut(W, H, FX, FY, CX, CY))
+    t_ref = 0.5 * (ev.ts[0] + ev.ts[-1])
+    packet = warp_local.make_packet(
+        jnp.asarray(ev.xs), jnp.asarray(ev.ys),
+        jnp.asarray(ev.ts - ev.ts[0], jnp.float32),
+        jnp.ones(n_events, bool), lut, cam, 256, np.float32(t_ref - ev.ts[0]),
+    )
+    packet = jax.tree.map(jax.block_until_ready, packet)
+
+    @jax.jit
+    def warp_accumulate(omega, bearings, dts, weights):
+        p = warp_local.EventPacket(bearings, dts, weights)
+        return warp_local.local_iwe(omega, p, cam, 1.0, precision="default")
+
+    omega = jnp.asarray(omega_true * 0.9, jnp.float32)
+
+    # Warmup / compile
+    warp_accumulate(omega, *packet).block_until_ready()
+
+    # Measure: many dependent evaluations to amortize dispatch.
+    reps = 30
+    t0 = time.perf_counter()
+    acc = None
+    for i in range(reps):
+        acc = warp_accumulate(omega + 1e-5 * i, *packet)
+    acc.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    ev_per_sec = reps * n_events / dt
+    baseline = 100e6
+    print(
+        json.dumps(
+            {
+                "metric": "events_warped_accumulated_per_sec_per_chip",
+                "value": round(ev_per_sec, 1),
+                "unit": "events/s",
+                "vs_baseline": round(ev_per_sec / baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

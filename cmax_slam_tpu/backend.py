@@ -1,0 +1,484 @@
+"""Back-end: sliding-window rotational bundle adjustment by global CMax.
+
+TPU-native rebuild of PoseGraphOptimizer (src/backend/pose_graph_optimizer.cpp,
+include/backend/pose_graph_optimizer.h:42-55). The busy-wait worker thread and
+mutex-guarded shared vectors become a cooperative host-side state machine over
+the shared EventStore; each window's bundle adjustment is one jitted device
+program (spline-warp -> pano matmul-votes -> blend -> blur -> variance ->
+FR-CG over R^{3K}), with reverse-mode autodiff replacing the reference's 3K
+hand-accumulated derivative images.
+
+Window protocol (pose_graph_optimizer.cpp:244-354):
+- windows of `time_window_size` slide by `sliding_window_stride` (50% overlap
+  at the defaults),
+- front-end angular velocities are trapezoid-integrated into absolute poses
+  (post-multiplicative exp updates, :191-222),
+- new control poses are fitted to those poses over the fresh ang-vel span and
+  appended (dropping the first degree knots that overlap, :254-278),
+- knots before the window and the first 1/3 knots of the very first window
+  are frozen (:261-264, 283-288),
+- events with ts < t_win_beg + stride vote into IL_old and are absorbed into
+  the global map IG after the solve, saturated per pixel by an update-count
+  map grown from dilated FOV footprints every 0.05 s (:303-337).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import lie, spline
+from .calib import EquirectCamera
+from .config import BackendConfig
+from .io.events import EventStore
+from .ops import optim, warp_pano
+from .ops.warp_pano import PanoWindow
+from .utils.metrics import Metrics
+
+
+def _np_exp(v):
+    return spline._np_quat_exp(v)
+
+
+def _np_mul(a, b):
+    return spline._np_quat_mul(a, b)
+
+
+@dataclass
+class WindowResult:
+    index: int
+    t_beg: float
+    t_end: float
+    num_events: int
+    ran_ba: bool
+    initial_cost: float
+    final_cost: float
+    iters: int
+
+
+class Backend:
+    def __init__(
+        self,
+        cam_width: int,
+        cam_height: int,
+        lut: np.ndarray,
+        cfg: BackendConfig,
+        store: EventStore,
+        frontend_sample_rate: int = 1,
+        metrics: Optional[Metrics] = None,
+    ):
+        self.cfg = cfg
+        self.store = store
+        self.metrics = metrics if metrics is not None else Metrics()
+        self.lut = np.asarray(lut, np.float32)
+        self.lut_dev = jnp.asarray(self.lut)
+        self.cam_width = cam_width
+        self.cam_height = cam_height
+
+        m = cfg.pano_map
+        self.pano = EquirectCamera(width=m.pano_width, height=m.pano_height)
+        self.order = 4 if cfg.trajectory.spline_degree == 3 else 2
+        self.degree = self.order - 1
+
+        # Global map state (event_pano_warper.cpp:21-28)
+        self.IG = np.zeros((m.pano_height, m.pano_width), np.float32)
+        self.update_times = np.zeros((m.pano_height, m.pano_width), np.int32)
+
+        # Sliding-window cursors
+        sw = cfg.sliding_window
+        self.win_size = sw.time_window_size
+        self.win_stride = sw.sliding_window_stride
+        self.cp_stride = int(round(sw.sliding_window_stride / cfg.trajectory.dt_knots))
+        self.count_window = 0
+        self.initialized = False
+        self.first_window = True
+        self.idx_cp_opt_beg = 0
+
+        # minimum events per window to run BA (pose_graph_optimizer.cpp:65-67)
+        self.min_events_per_win = int(
+            sw.time_window_size
+            * m.backend_min_ev_rate
+            / (cfg.warp.event_sample_rate * frontend_sample_rate)
+        )
+
+        # ang-vel inbox from the front-end (frontend_ang_vel_ map)
+        self._av_times: List[float] = []
+        self._av_vals: List[np.ndarray] = []
+        self._av_prev: Optional[Tuple[float, np.ndarray]] = None
+
+        self.traj: Optional[spline.Trajectory] = None
+        self.pose_latest: Optional[Tuple[float, np.ndarray]] = None
+        self.results: List[WindowResult] = []
+        self.trajectory_log: List[Tuple[float, np.ndarray]] = []
+
+        # static window-knot count: round(win/dt) + degree
+        self.K_win = int(round(self.win_size / cfg.trajectory.dt_knots)) + self.degree
+        self._solver_cache = {}
+
+    # ------------------------------------------------------------------
+    # Front-end interface (pushAngVel, pose_graph_optimizer.cpp:73-110)
+    # ------------------------------------------------------------------
+    def push_ang_vel(self, t: float, omega: np.ndarray) -> None:
+        if not self.initialized:
+            self.t_win_beg = t
+            self.t_win_end = t + self.win_size
+            self.t_av_beg = self.t_win_beg
+            self.t_av_end = self.t_win_end
+            self.traj = spline.Trajectory(
+                self.t_win_beg, self.cfg.trajectory.dt_knots, self.order
+            )
+            self._av_prev = (t, np.asarray(omega, np.float64))
+            theta = math.radians(self.cfg.pano_map.y_angle_deg)
+            q0 = np.array(
+                [math.cos(theta / 2.0), 0.0, math.sin(theta / 2.0), 0.0]
+            )  # rotation about +Y
+            self.pose_latest = (t, q0)
+            self.initialized = True
+        self._av_times.append(float(t))
+        self._av_vals.append(np.asarray(omega, np.float64))
+
+    def ready(self) -> bool:
+        """isReadyFrontendPoses (pose_graph_optimizer.cpp:112-129)."""
+        return (
+            self.initialized
+            and len(self._av_times) > 0
+            and self._av_times[-1] > self.t_win_end
+        )
+
+    def step(self) -> Optional[WindowResult]:
+        """One Run-loop iteration (pose_graph_optimizer.cpp:356-376)."""
+        if not self.ready():
+            return None
+        ev = self._get_event_subset(self.t_win_beg, self.t_win_end)
+        av = self._get_ang_vel_subset(self.t_av_beg, self.t_av_end)
+        res = self._process_time_window(ev, av)
+        self._slide_window()
+        return res
+
+    def run(self) -> List[WindowResult]:
+        out = []
+        while self.ready():
+            out.append(self.step())
+        return out
+
+    # ------------------------------------------------------------------
+    def _get_event_subset(self, t_beg: float, t_end: float):
+        """Window slice of the shared store + prefix retirement
+        (getEventSubset, pose_graph_optimizer.cpp:131-165)."""
+        a = self.store.searchsorted_time(t_beg, side="left")
+        b = self.store.searchsorted_time(t_end - 1e-6, side="right")
+        xs, ys, ts, ps = self.store.slice_abs(a, b)
+        out = (xs.copy(), ys.copy(), ts.copy(), ps.copy())
+        self.store.drop_before(a)
+        return out
+
+    def _get_ang_vel_subset(self, t_beg: float, t_end: float):
+        """(getAngVelSubset, pose_graph_optimizer.cpp:167-189): consume
+        ang-vels in (t_beg, t_end); erase everything up to t_end."""
+        times = np.asarray(self._av_times)
+        lo = int(np.searchsorted(times, t_beg, side="right"))
+        hi = int(np.searchsorted(times, t_end, side="left"))
+        sub = [(self._av_times[i], self._av_vals[i]) for i in range(lo, hi)]
+        self._av_times = self._av_times[hi:]
+        self._av_vals = self._av_vals[hi:]
+        return sub
+
+    def _integrate_ang_vel(self, av_subset):
+        """Trapezoidal integration into absolute poses with post-multiplied
+        exponentials (integrateAngVel, pose_graph_optimizer.cpp:191-222)."""
+        t_curr, q_curr = self.pose_latest
+        t_prev, w_prev = self._av_prev
+        times, quats = [], []
+        for t, w in av_subset:
+            if t <= t_prev and not self.first_window:
+                continue  # out-of-order guard (:199-202)
+            dt = t - t_curr
+            drotv = dt * 0.5 * (w_prev + w)
+            q_curr = _np_mul(q_curr, _np_exp(drotv))
+            t_curr = t
+            times.append(t)
+            quats.append(q_curr)
+            t_prev, w_prev = t, w
+        self._av_prev = (t_prev, w_prev)
+        return np.asarray(times), (np.stack(quats) if quats else np.zeros((0, 4)))
+
+    # ------------------------------------------------------------------
+    def _process_time_window(self, ev, av_subset) -> WindowResult:
+        """processTimeWindow (pose_graph_optimizer.cpp:244-323)."""
+        cfg = self.cfg
+        pose_times, pose_quats = self._integrate_ang_vel(av_subset)
+
+        # Fit + append new control poses over the fresh ang-vel span.
+        if len(pose_times) >= 2:
+            num_cps = (
+                int(round((self.t_av_end - self.t_av_beg) / cfg.trajectory.dt_knots))
+                + self.degree
+            )
+            if len(pose_times) >= num_cps:
+                new_cps = spline.fit_ctrl_poses(
+                    pose_times, pose_quats, self.t_av_beg,
+                    cfg.trajectory.dt_knots, num_cps, self.order,
+                )
+            else:
+                # Degenerate: too few ang-vels; hold the last pose.
+                new_cps = np.tile(self.pose_latest[1], (num_cps, 1))
+            if self.first_window:
+                self.idx_cp_opt_beg = self.degree  # freeze trajectory start
+                self.first_window = False
+            else:
+                new_cps = new_cps[self.degree:]
+            self.traj.push_ctrl_poses(new_cps)
+
+        idx_cp_traj_beg = self.count_window * self.cp_stride
+        self.idx_cp_opt_beg = max(idx_cp_traj_beg, self.idx_cp_opt_beg)
+        num_fixed = self.idx_cp_opt_beg - idx_cp_traj_beg
+
+        xs, ys, ts, _ = ev
+        n_raw = len(ts)
+        ran_ba = n_raw > self.min_events_per_win and self.traj.size > idx_cp_traj_beg
+        initial_cost = final_cost = 0.0
+        iters = 0
+
+        if ran_ba:
+            with self.metrics.timer("backend.solve"):
+                initial_cost, final_cost, iters = self._solve_window(
+                    xs, ys, ts, idx_cp_traj_beg, num_fixed
+                )
+            self.metrics.count("backend.events", n_raw)
+
+        # Update latest pose at the window end (:316-317).
+        t_eval = self.t_win_end - 1e-6
+        if self.traj.size >= self.order:
+            q = self.traj.evaluate(min(t_eval, self.traj.max_time() - 1e-9))[0]
+            self.pose_latest = (t_eval, q)
+            self.trajectory_log.append((t_eval, q))
+
+        res = WindowResult(
+            index=self.count_window,
+            t_beg=self.t_win_beg,
+            t_end=self.t_win_end,
+            num_events=n_raw,
+            ran_ba=ran_ba,
+            initial_cost=initial_cost,
+            final_cost=final_cost,
+            iters=iters,
+        )
+        self.results.append(res)
+        return res
+
+    # ------------------------------------------------------------------
+    def _window_arrays(self, xs, ys, ts, idx_cp_traj_beg):
+        """Marshal a window's events into fixed-shape device arrays."""
+        cfg = self.cfg
+        bs = cfg.warp.event_batch_size
+        rate = cfg.warp.event_sample_rate
+        n = len(ts)
+
+        # Static bucket: pad event count (and batch count) to a power of two
+        # so only a handful of window shapes ever compile.
+        size = bs
+        while size < min(n, cfg.max_events_per_window):
+            size *= 2
+        size = min(size, ((cfg.max_events_per_window + bs - 1) // bs) * bs)
+        n_use = min(n, size)
+
+        xs_p = np.zeros(size, np.int32)
+        ys_p = np.zeros(size, np.int32)
+        ts_p = np.zeros(size, np.float64)
+        valid = np.zeros(size, bool)
+        xs_p[:n_use] = xs[:n_use]
+        ys_p[:n_use] = ys[:n_use]
+        ts_p[:n_use] = ts[:n_use]
+        valid[:n_use] = True
+
+        # Batch midpoint times on the raw stream (event_pano_warper.cpp:238-243)
+        B = size // bs
+        tsb = ts_p.reshape(B, bs)
+        vb = valid.reshape(B, bs)
+        t_first = np.where(vb.any(1), np.where(vb, tsb, np.inf).min(1), 0.0)
+        t_last = np.where(vb.any(1), np.where(vb, tsb, -np.inf).max(1), 0.0)
+        batch_mid = t_first + 0.5 * (t_last - t_first)
+
+        # In-batch decimation (event_pano_warper.cpp:262): keep every
+        # rate-th event within each batch.
+        if rate > 1:
+            keep = (np.arange(size) % bs) % rate == 0
+            valid &= keep
+
+        # Old/new split against the next window start (:296-311).
+        t_next = self.t_win_beg + self.win_stride
+        is_old = ts_p < t_next
+
+        # Times relative to the window sub-spline origin.
+        t_knot0 = self.traj.knot_time(idx_cp_traj_beg)
+        batch_rel = (batch_mid - t_knot0).astype(np.float32)
+
+        idx = ys_p * self.cam_width + xs_p
+        bearings = self.lut[idx]
+
+        return {
+            "bearings": jnp.asarray(bearings),
+            "batch_times": jnp.asarray(batch_rel),
+            "weights": jnp.asarray(valid.astype(np.float32)),
+            "is_old": jnp.asarray(is_old & valid),
+            "size": size,
+        }
+
+    def _get_solver(self, size: int, K: int):
+        """Jitted per-(event-capacity, knot-count) window solver."""
+        key = (size, K)
+        if key in self._solver_cache:
+            return self._solver_cache[key]
+
+        cfg = self.cfg
+        pano = self.pano
+        order = self.order
+        o = cfg.optim
+        blur_sigma = cfg.warp.blur_sigma
+        measure = cfg.contrast_measure
+
+        @jax.jit
+        def solve(bearings, batch_times, weights, is_old, knots, free_mask,
+                  t0, dt_knots, ig_prime):
+            win0 = PanoWindow(
+                bearings=bearings, batch_times=batch_times, weights=weights,
+                is_old=is_old, knots=knots, free_mask=free_mask,
+                t0=t0, dt_knots=dt_knots,
+                ig_prime=ig_prime, alpha=jnp.float32(0.0),
+            )
+            # First evaluation of the window computes alpha from the initial
+            # trajectory's IL (setFirstIter/updateAlpha semantics,
+            # event_pano_warper.cpp:201-213).
+            il_old0, il_new0, _ = warp_pano.pano_iwe(
+                jnp.zeros((K, 3), jnp.float32), win0, pano, order, blur_sigma
+            )
+            alpha = warp_pano.compute_alpha(il_old0 + il_new0, ig_prime)
+            win = win0._replace(alpha=alpha)
+
+            f, vg = warp_pano.make_pano_objective(
+                win, pano, order, blur_sigma, measure
+            )
+            res = optim.minimize_fr_cg(
+                vg, jnp.zeros(3 * K, jnp.float32), f_fn=f,
+                max_line_searches=o.max_line_searches,
+                initial_step=o.initial_step,
+                line_search_tol=o.line_search_tol,
+                grad_tol=o.grad_tol,
+                fun_tol=o.fun_tol,
+                max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+            )
+            drotv = res.x.reshape(K, 3)
+            knots_new = spline.apply_masked_increments(knots, drotv, free_mask)
+            # IL at the optimum feeds the global-map update (updateIG uses the
+            # last evaluation's IL_old, pose_graph_optimizer.cpp:303).
+            il_old, il_new, image = warp_pano.pano_iwe(
+                drotv, win, pano, order, blur_sigma
+            )
+            return knots_new, il_old, res.fun, res.iters, alpha
+
+        self._solver_cache[key] = solve
+        return solve
+
+    def _solve_window(self, xs, ys, ts, idx_cp_traj_beg, num_fixed):
+        arrays = self._window_arrays(xs, ys, ts, idx_cp_traj_beg)
+        size = arrays.pop("size")
+
+        # Window sub-trajectory knots, padded to the static K_win.
+        K = self.K_win
+        sub = self.traj.knots[idx_cp_traj_beg:]
+        if len(sub) > K:
+            sub = sub[:K]
+        pad = K - len(sub)
+        n_real = len(sub)
+        if pad > 0:
+            sub = np.concatenate([sub, np.tile(sub[-1], (pad, 1))], axis=0)
+        free = np.zeros(K, np.float32)
+        free[num_fixed:n_real] = 1.0
+
+        t_knot0 = self.traj.knot_time(idx_cp_traj_beg)
+        solve = self._get_solver(size, K)
+        knots_new, il_old, fun, iters, alpha = solve(
+            arrays["bearings"], arrays["batch_times"], arrays["weights"],
+            arrays["is_old"], jnp.asarray(sub.astype(np.float32)),
+            jnp.asarray(free), jnp.float32(0.0),
+            jnp.float32(self.cfg.trajectory.dt_knots),
+            jnp.asarray(self.IG),
+        )
+
+        # Write back optimized knots (incrementalUpdate on the live
+        # trajectory, global_optim_contrast_gsl.cpp:130).
+        self.traj.knots[idx_cp_traj_beg : idx_cp_traj_beg + n_real] = np.asarray(
+            knots_new, np.float64
+        )[:n_real]
+
+        # Global-map absorption + update-count growth (:303-337).
+        self.IG = np.asarray(
+            warp_pano.accumulate_global_map(
+                jnp.asarray(self.IG), il_old, jnp.asarray(self.update_times),
+                self.cfg.pano_map.max_update_times,
+            )
+        )
+        self._set_update_times_ig()
+        return 0.0, float(fun), int(iters)
+
+    def _set_update_times_ig(self, dt_check: float = 0.05, radius: int = 3):
+        """setUpdateTimesIG (pose_graph_optimizer.cpp:325-337): mark FOV
+        pixels at dt_check steps across the consumed stride."""
+        t_end = self.t_win_beg + self.win_stride
+        t = self.t_win_beg
+        times = []
+        while t < t_end:
+            times.append(min(t, self.traj.max_time() - 1e-9))
+            t += dt_check
+        if not times:
+            return
+        qs = jnp.asarray(
+            np.stack([self.traj.evaluate(tt)[0] for tt in times]).astype(np.float32)
+        )
+        mask = warp_pano.fov_mask(qs, self.lut_dev, self.pano, radius)
+        self.update_times += np.asarray(mask, np.int32)
+
+    def _slide_window(self):
+        """slideWindow (pose_graph_optimizer.cpp:339-354)."""
+        self.t_win_beg += self.win_stride
+        self.t_av_beg = self.t_win_end
+        self.t_win_end += self.win_stride
+        self.t_av_end = self.t_win_end
+        self.count_window += 1
+
+    # ------------------------------------------------------------------
+    def render_map(self) -> np.ndarray:
+        """Pano display image (publishEventImage,
+        pose_graph_optimizer.cpp:378-413)."""
+        from .utils.image import render_pano
+
+        img = render_pano(self.IG, gamma=self.cfg.gamma, invert=True)
+        if self.cfg.draw_fov and self.traj is not None and self.traj.size >= self.order:
+            img = np.stack([img] * 3, axis=-1)
+            t_plot = min(self.t_win_end - 1e-6, self.traj.max_time() - 1e-9)
+            q = self.traj.evaluate(t_plot)[0].astype(np.float32)
+            mask = np.asarray(
+                warp_pano.fov_mask(
+                    jnp.asarray(q[None]), self.lut_dev, self.pano, radius=0
+                )
+            )
+            img[mask > 0] = np.array([255, 0, 0], np.uint8)
+        return img
+
+    def checkpoint(self) -> dict:
+        """Serializable back-end state (SURVEY.md section 5: the reference has
+        no checkpoint/resume; knots + IG + counts are the whole state)."""
+        return {
+            "knots": self.traj.knots if self.traj else np.zeros((0, 4)),
+            "traj_t_beg": self.traj.t_beg if self.traj else 0.0,
+            "IG": self.IG,
+            "update_times": self.update_times,
+            "count_window": self.count_window,
+            "t_win_beg": getattr(self, "t_win_beg", 0.0),
+            "t_win_end": getattr(self, "t_win_end", 0.0),
+        }

@@ -1,0 +1,186 @@
+"""Configuration dataclasses for CMax-SLAM-TPU.
+
+Mirrors the reference's parameter surface
+(``/root/reference/include/utils/parameters.h:8-102`` and the launch files
+``/root/reference/launch/*.launch``) with explicit defaults matching
+``/root/reference/src/cmax_slam.cpp:21-83``. Configs are plain frozen
+dataclasses so they hash as static jit arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+# Contrast measures (reference: include/frontend/local_focus_funcs.h:7-11)
+VARIANCE_CONTRAST = 0
+MEAN_SQUARE_CONTRAST = 1
+IMAGE_GRADIENT_MAGNITUDE_CONTRAST = 2
+
+
+@dataclass(frozen=True)
+class WarpOptions:
+    """Reference: OptionsWarp (include/utils/parameters.h:17-28)."""
+
+    blur_sigma: float = 1.0
+    event_batch_size: int = 100
+    event_sample_rate: int = 1
+
+
+@dataclass(frozen=True)
+class SlidingWindowOptions:
+    """Reference: OptionSlidingwindow (include/utils/parameters.h:38-45)."""
+
+    time_window_size: float = 0.2
+    sliding_window_stride: float = 0.1
+
+
+@dataclass(frozen=True)
+class TrajectoryOptions:
+    """Reference: OptionTraj (include/utils/parameters.h:48-55)."""
+
+    dt_knots: float = 0.1
+    spline_degree: int = 1  # 1=Linear, 3=Cubic
+
+
+@dataclass(frozen=True)
+class PanoMapOptions:
+    """Reference: OptionPanoMap (include/utils/parameters.h:59-73)."""
+
+    pano_height: int = 1024
+    pano_width: int = 2048
+    y_angle_deg: float = 0.0
+    max_update_times: int = 10
+    backend_min_ev_rate: int = 10
+
+
+@dataclass(frozen=True)
+class OptimOptions:
+    """Optimizer budget; reference hard-codes these
+    (src/frontend/local_optim_contrast_gsl.cpp:108-122,
+    src/backend/global_optim_contrast_gsl.cpp:41-53)."""
+
+    max_line_searches: int = 50
+    initial_step: float = 0.1
+    line_search_tol: float = 0.05  # directional-derivative reduction factor
+    grad_tol: float = 1e-3  # front-end; back-end uses 1e-4
+    fun_tol: float = 1e-4
+    max_fevals_per_linesearch: int = 16
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Reference: AngVelEstParams (include/utils/parameters.h:76-86)."""
+
+    contrast_measure: int = VARIANCE_CONTRAST
+    num_events_per_packet: int = 30000
+    dt_ang_vel: float = 0.02
+    warp: WarpOptions = field(default_factory=WarpOptions)
+    optim: OptimOptions = field(default_factory=OptimOptions)
+    show_iwe: bool = False
+
+
+@dataclass(frozen=True)
+class BackendConfig:
+    """Reference: PoseGraphParams (include/utils/parameters.h:89-102)."""
+
+    contrast_measure: int = VARIANCE_CONTRAST
+    sliding_window: SlidingWindowOptions = field(default_factory=SlidingWindowOptions)
+    warp: WarpOptions = field(default_factory=WarpOptions)
+    trajectory: TrajectoryOptions = field(default_factory=TrajectoryOptions)
+    pano_map: PanoMapOptions = field(default_factory=PanoMapOptions)
+    optim: OptimOptions = field(
+        default_factory=lambda: OptimOptions(grad_tol=1e-4, line_search_tol=0.1)
+    )
+    show_iwe: bool = False
+    draw_fov: bool = False
+    gamma: float = 0.75
+    # Static cap on the padded per-window event subset (TPU static shapes).
+    max_events_per_window: int = 1 << 18
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    """Top-level config, analog of the launch-file parameter block
+    (/root/reference/launch/ijrr.launch)."""
+
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    backend: BackendConfig = field(default_factory=BackendConfig)
+    frontend_event_sample_rate: int = 1
+
+
+def ijrr_config(num_events_per_packet: int = 10000) -> SystemConfig:
+    """Per-dataset preset mirroring /root/reference/launch/ijrr.launch."""
+    return SystemConfig(
+        frontend=FrontendConfig(
+            num_events_per_packet=num_events_per_packet,
+            dt_ang_vel=0.01,
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100, event_sample_rate=1),
+        ),
+        backend=BackendConfig(
+            sliding_window=SlidingWindowOptions(0.2, 0.1),
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100, event_sample_rate=1),
+            trajectory=TrajectoryOptions(dt_knots=0.05, spline_degree=1),
+            pano_map=PanoMapOptions(
+                pano_height=512, pano_width=1024, max_update_times=200,
+                backend_min_ev_rate=10000,
+            ),
+            gamma=0.75,
+            draw_fov=True,
+        ),
+    )
+
+
+def ecrot_synth_config() -> SystemConfig:
+    """Preset mirroring /root/reference/launch/ecrot_synth.launch."""
+    return SystemConfig(
+        frontend=FrontendConfig(
+            num_events_per_packet=70000,
+            dt_ang_vel=0.005,
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100, event_sample_rate=1),
+        ),
+        backend=BackendConfig(
+            sliding_window=SlidingWindowOptions(0.2, 0.1),
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100, event_sample_rate=2),
+            trajectory=TrajectoryOptions(dt_knots=0.05, spline_degree=1),
+            pano_map=PanoMapOptions(
+                pano_height=512, pano_width=1024, max_update_times=200,
+                backend_min_ev_rate=10000,
+            ),
+        ),
+    )
+
+
+def live_davis_config() -> SystemConfig:
+    """Preset mirroring /root/reference/launch/live_davis.launch (load-shedding)."""
+    return SystemConfig(
+        frontend=FrontendConfig(
+            num_events_per_packet=5000,
+            dt_ang_vel=0.04,
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100, event_sample_rate=1),
+        ),
+        backend=BackendConfig(
+            sliding_window=SlidingWindowOptions(0.2, 0.1),
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100, event_sample_rate=5),
+            trajectory=TrajectoryOptions(dt_knots=0.05, spline_degree=1),
+            pano_map=PanoMapOptions(
+                pano_height=512, pano_width=1024, max_update_times=200,
+                backend_min_ev_rate=10,
+            ),
+        ),
+        frontend_event_sample_rate=10,
+    )
+
+
+def replace(cfg, **kwargs):
+    """dataclasses.replace that tolerates nested dotted keys ('warp.blur_sigma')."""
+    flat = {}
+    for key, val in kwargs.items():
+        if "." in key:
+            head, rest = key.split(".", 1)
+            sub = replace(getattr(cfg, head), **{rest: val})
+            flat[head] = sub
+        else:
+            flat[key] = val
+    return dataclasses.replace(cfg, **flat)

@@ -1,0 +1,227 @@
+"""Front-end: sliding-window angular-velocity estimation by CMax.
+
+TPU-native rebuild of AngVelEstimator (src/frontend/ang_vel_estimator.cpp,
+include/frontend/ang_vel_estimator.h:38-67). The per-event ROS callback state
+machine becomes a vectorized host-side packetizer over an EventStore, and
+each packet's contrast-maximization solve is ONE jitted device program
+(warp -> matmul-vote -> blur -> variance -> FR-CG while_loop), warm-started
+from the previous packet's solution.
+
+Packet semantics mirror the reference exactly (ang_vel_estimator.cpp:68-135):
+- output timestamps on a rigid grid t_k = t_first + dt_ang_vel/2 + k*dt,
+- a packet is *centered* on the first event crossing the subset cursor:
+  absolute indices [i+1-half, i+1+half) where half = num_events_per_packet/2,
+- the warp reference time is the grid time t_k, not the event midpoint,
+- a packet spanning more than 10*dt_ang_vel of wall time yields omega = 0
+  (degenerate/still camera guard),
+- omega is warm-started from the previous packet.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import FrontendConfig
+from .io.events import EventStore
+from .ops import optim, warp_local
+from .ops.contrast import contrast
+from .utils.metrics import Metrics
+
+
+@dataclass
+class AngVelEstimate:
+    t: float
+    omega: np.ndarray  # (3,) rad/s
+    cost: float
+    iters: int
+    num_events: int
+
+
+class Frontend:
+    def __init__(
+        self,
+        cam: warp_local.CameraParams,
+        lut: np.ndarray,
+        cfg: FrontendConfig,
+        store: Optional[EventStore] = None,
+        metrics: Optional[Metrics] = None,
+    ):
+        self.cam = cam
+        self.cfg = cfg
+        self.lut = jnp.asarray(lut)
+        self.store = store if store is not None else EventStore()
+        self.metrics = metrics if metrics is not None else Metrics()
+
+        self.half = cfg.num_events_per_packet // 2
+        self.packet_size = 2 * self.half  # static device shape
+        # pad to a multiple of the event batch size for batch-midpoint dts
+        bs = cfg.warp.event_batch_size
+        self.packet_size = ((self.packet_size + bs - 1) // bs) * bs
+
+        self._initialized = False
+        self._t0: float = 0.0  # stream epoch: all device times are t - _t0
+        self._cursor: float = 0.0  # time_get_subset_
+        self._t_packet: float = 0.0  # time_packet_
+        self._next_check_abs = 0  # next absolute event index to scan for triggers
+        self._pending: List[Tuple[int, int]] = []  # subset (beg, end) abs indices
+        self.omega = np.zeros(3)  # warm start (ang_vel_)
+        self.estimates: List[AngVelEstimate] = []
+        self._solve = self._build_solver()
+
+    # ------------------------------------------------------------------
+    def _build_solver(self) -> Callable:
+        cam = self.cam
+        cfg = self.cfg
+        blur_sigma = cfg.warp.blur_sigma
+        measure = cfg.contrast_measure
+        o = cfg.optim
+
+        @jax.jit
+        def solve(bearings, dts, weights, omega0):
+            packet = warp_local.EventPacket(bearings, dts, weights)
+
+            def f(omega):
+                iwe = warp_local.local_iwe(omega, packet, cam, blur_sigma)
+                return -contrast(iwe, measure)
+
+            vg = jax.value_and_grad(f)
+            res = optim.minimize_fr_cg(
+                vg,
+                omega0,
+                f_fn=f,
+                max_line_searches=o.max_line_searches,
+                initial_step=o.initial_step,
+                line_search_tol=o.line_search_tol,
+                grad_tol=o.grad_tol,
+                fun_tol=o.fun_tol,
+                max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+            )
+            return res.x, res.fun, res.iters
+
+        return solve
+
+    # ------------------------------------------------------------------
+    def push_events(self, xs, ys, ts, ps) -> List[AngVelEstimate]:
+        """Ingest a chunk of events (stream order); returns new estimates.
+
+        Vectorized equivalent of the per-event pushEvent loop
+        (ang_vel_estimator.cpp:68-135); the sample-rate decimation of
+        eventsCallback (src/cmax_slam.cpp:155-156) is the caller's job
+        (see system.CMaxSLAM).
+        """
+        ts = np.asarray(ts, np.float64)
+        if len(ts) == 0:
+            return []
+        if not self._initialized:
+            self._t0 = float(ts[0])
+            self._t_packet = float(ts[0]) + 0.5 * self.cfg.dt_ang_vel
+            self._cursor = self._t_packet
+            self._initialized = True
+
+        self.store.append(xs, ys, ts, ps)
+        self._scan_triggers()
+        return self._process_ready_packets()
+
+    def _scan_triggers(self) -> None:
+        """Find subset-cursor crossings among newly stored events."""
+        store = self.store
+        while self._next_check_abs < store.total:
+            # first event (>= scan position) past the cursor
+            idx = max(store.searchsorted_time(self._cursor, side="right"),
+                      self._next_check_abs)
+            if idx >= store.total:
+                self._next_check_abs = store.total
+                break
+            # event idx triggers: count = idx+1
+            count = idx + 1
+            beg = max(count - self.half, 0)
+            end = count + self.half
+            self._pending.append((beg, end))
+            self._cursor += self.cfg.dt_ang_vel
+            self._next_check_abs = idx + 1
+
+    def _process_ready_packets(self) -> List[AngVelEstimate]:
+        out = []
+        while self._pending and self.store.total > self._pending[0][1]:
+            beg, end = self._pending.pop(0)
+            out.append(self._process_packet(beg, end))
+        return out
+
+    def _process_packet(self, beg: int, end: int) -> AngVelEstimate:
+        cfg = self.cfg
+        xs, ys, ts, _ = self.store.slice_abs(beg, end)
+        n = len(ts)
+        t_packet = self._t_packet
+        self._t_packet += cfg.dt_ang_vel  # slideWindow (ang_vel_estimator.cpp:175-182)
+
+        timespan = float(ts[-1] - ts[0]) if n else 0.0
+        if timespan > 10.0 * cfg.dt_ang_vel or n < 2:
+            # Degenerate packet guard (ang_vel_estimator.cpp:108-114)
+            self.omega = np.zeros(3)
+            est = AngVelEstimate(t=t_packet, omega=self.omega.copy(), cost=0.0,
+                                 iters=0, num_events=n)
+            self.estimates.append(est)
+            return est
+
+        S = self.packet_size
+        pad = S - n
+        xs_p = np.pad(xs, (0, pad))
+        ys_p = np.pad(ys, (0, pad))
+        ts_rel = np.pad((ts - self._t0).astype(np.float32), (0, pad))
+        valid = np.zeros(S, bool)
+        valid[:n] = True
+
+        with self.metrics.timer("frontend.solve"):
+            packet = warp_local.make_packet(
+                jnp.asarray(xs_p), jnp.asarray(ys_p), jnp.asarray(ts_rel),
+                jnp.asarray(valid), self.lut, self.cam,
+                cfg.warp.event_batch_size,
+                np.float32(t_packet - self._t0),
+            )
+            omega, cost, iters = self._solve(
+                packet.bearings, packet.dts, packet.weights,
+                jnp.asarray(self.omega, jnp.float32),
+            )
+            omega = np.asarray(omega, np.float64)
+
+        self.omega = omega
+        self.metrics.count("frontend.events", n)
+        est = AngVelEstimate(
+            t=t_packet, omega=omega.copy(), cost=float(cost),
+            iters=int(iters), num_events=n,
+        )
+        self.estimates.append(est)
+        return est
+
+    # ------------------------------------------------------------------
+    def render_iwe_pair(self, beg: int, end: int, omega: np.ndarray):
+        """Zero-motion vs motion-compensated IWE side-by-side, normalized and
+        inverted (publishEventImage, ang_vel_estimator.cpp:203-233)."""
+        from .utils.image import normalize_minmax
+
+        xs, ys, ts, _ = self.store.slice_abs(beg, end)
+        n = len(ts)
+        S = self.packet_size
+        pad = S - n
+        valid = np.zeros(S, bool)
+        valid[:n] = True
+        packet = warp_local.make_packet(
+            jnp.asarray(np.pad(xs, (0, pad))),
+            jnp.asarray(np.pad(ys, (0, pad))),
+            jnp.asarray(np.pad((ts - self._t0).astype(np.float32), (0, pad))),
+            jnp.asarray(valid), self.lut, self.cam,
+            self.cfg.warp.event_batch_size,
+            np.float32(0.5 * (ts[0] + ts[-1]) - self._t0),
+        )
+        img0 = warp_local.local_iwe(jnp.zeros(3, jnp.float32), packet, self.cam, 0.0)
+        img1 = warp_local.local_iwe(
+            jnp.asarray(omega, jnp.float32), packet, self.cam, 0.0
+        )
+        stacked = np.concatenate([np.asarray(img0), np.asarray(img1)], axis=1)
+        return 255.0 - normalize_minmax(stacked) * 255.0

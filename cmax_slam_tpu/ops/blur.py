@@ -1,0 +1,69 @@
+"""Gaussian blur matching cv::GaussianBlur(src, Size(0,0), sigma).
+
+The reference blurs every IWE (and derivative image) before the contrast
+reduction (local_image_warped_events.cpp:32-38, event_pano_warper.cpp:217-230).
+OpenCV semantics reproduced here:
+
+- automatic kernel size for CV_32F: ``ksize = round(sigma * 4 * 2 + 1) | 1``
+- kernel weights ``exp(-i^2 / (2 sigma^2))`` normalized to sum 1
+- border mode BORDER_REFLECT_101 (reflection without repeating the edge)
+
+TPU-first implementation: the separable convolution along each axis is a
+banded Toeplitz matrix with the reflection folded into the band, so the blur
+is two dense matmuls ``B_h @ I @ B_w^T`` that run on the MXU. The matrices are
+built once per (size, sigma) on host and cached.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def opencv_ksize(sigma: float) -> int:
+    """Automatic kernel size for float images (OpenCV createGaussianFilter)."""
+    k = int(round(sigma * 8 + 1))
+    return k | 1
+
+
+def gaussian_kernel(sigma: float, ksize: int | None = None) -> np.ndarray:
+    """1-D Gaussian kernel identical to cv::getGaussianKernel(ksize, sigma)."""
+    if ksize is None:
+        ksize = opencv_ksize(sigma)
+    half = (ksize - 1) / 2.0
+    xs = np.arange(ksize, dtype=np.float64) - half
+    k = np.exp(-(xs * xs) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float64)
+
+
+@functools.lru_cache(maxsize=64)
+def _blur_matrix(size: int, sigma: float) -> np.ndarray:
+    """(size, size) matrix applying a reflect-101 Gaussian along one axis."""
+    kernel = gaussian_kernel(sigma)
+    ksize = len(kernel)
+    half = ksize // 2
+    mat = np.zeros((size, size), dtype=np.float64)
+    for i in range(size):
+        for t, kv in enumerate(kernel):
+            j = i + t - half
+            # BORDER_REFLECT_101: ... 2 1 | 0 1 2 ... n-1 | n-2 n-3 ...
+            while j < 0 or j >= size:
+                if j < 0:
+                    j = -j
+                if j >= size:
+                    j = 2 * (size - 1) - j
+            mat[i, j] += kv
+    return mat.astype(np.float32)
+
+
+def gaussian_blur(image: jnp.ndarray, sigma: float, precision: str = "highest") -> jnp.ndarray:
+    """Blur a (..., H, W) image stack; no-op when sigma <= 0."""
+    if sigma <= 0:
+        return image
+    H, W = image.shape[-2], image.shape[-1]
+    bh = jnp.asarray(_blur_matrix(H, float(sigma)))
+    bw = jnp.asarray(_blur_matrix(W, float(sigma)))
+    out = jnp.matmul(bh, image, precision=precision)
+    return jnp.matmul(out, bw.T, precision=precision)

@@ -1,0 +1,243 @@
+"""Jittable nonlinear conjugate-gradient minimizer (Fletcher-Reeves).
+
+TPU-native replacement for GSL's ``gsl_multimin_fdfminimizer_conjugate_fr``
+loops (src/frontend/local_optim_contrast_gsl.cpp:74-233,
+src/backend/global_optim_contrast_gsl.cpp:15-145). The whole optimization —
+line searches included — compiles to a single XLA ``while_loop``, so a CMax
+solve is one device program with no host round-trips.
+
+Matches the reference's optimizer semantics:
+- Fletcher-Reeves beta = |g1|^2 / |g0|^2 with periodic direction restart.
+- Line search: backtracking bracket (function-only evals, cheap forward pass)
+  followed by secant refinement on the directional derivative until
+  ``|g1 . u| <= tol * |g1|`` (GSL's directional-minimize stopping rule).
+- Convergence tests identical to the reference: function stagnation
+  ``|1 - f_new/(f_old + 1e-7)| < fun_tol`` and gradient norm
+  ``|g| < grad_tol`` with a hard cap of ``max_line_searches`` iterations
+  (local_optim_contrast_gsl.cpp:119-204).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Status codes
+RUNNING = 0
+CONVERGED_FTOL = 1
+CONVERGED_GTOL = 2
+NO_PROGRESS = 3
+MAX_ITERS = 4
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    fun: jnp.ndarray
+    iters: jnp.ndarray
+    status: jnp.ndarray
+
+
+class _LSState(NamedTuple):
+    f_best: jnp.ndarray
+    alpha_best: jnp.ndarray
+    grow: jnp.ndarray         # step multiplier once improving
+    k: jnp.ndarray
+    done: jnp.ndarray
+
+
+def _line_search(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals):
+    """Minimize phi(a) = f(x + a*u) approximately. Returns (alpha, f, g, ok).
+
+    Phase 1 brackets an improving step with function-only evals (cheap
+    forward pass). Trial steps fan out geometrically in BOTH directions from
+    alpha0 (a0, 2a0, a0/2, 4a0, a0/4, ...): a CMax objective evaluated at a
+    warped position sitting exactly on the pixel grid (cold start with
+    quantized events) has one-sided kinks that can make tiny steps look
+    uphill even along a descent direction, so pure backtracking — GSL's
+    strategy — stalls exactly where the reference stalls; probing larger
+    steps too rides over the kinks. Once improving, keep doubling while f
+    decreases. Phase 2 polishes with secant steps on the directional
+    derivative until the GSL stopping rule |g1.u| <= tol*|g1| holds.
+    """
+    dtype = x.dtype
+    dphi0 = jnp.vdot(g0, u).astype(dtype)
+    alpha0 = jnp.asarray(alpha0, dtype)
+
+    def trial_alpha(s):
+        # Before the first improvement: alternate 2^m above/below alpha0.
+        m = (s.k + 1) // 2
+        scale = jnp.where(
+            s.k % 2 == 1,
+            2.0 ** m.astype(dtype),
+            0.5 ** m.astype(dtype),
+        )
+        ladder = alpha0 * scale
+        # After an improvement: keep growing from the best step.
+        return jnp.where(s.grow > 0, s.alpha_best * 2.0, ladder)
+
+    def bt_cond(s):
+        return (~s.done) & (s.k < max_evals)
+
+    def bt_body(s):
+        a = trial_alpha(s)
+        f1 = f_fn(x + a * u).astype(dtype)
+        improved = f1 < s.f_best
+        # Once we were improving and stop, the minimum is bracketed.
+        done_now = (s.grow > 0) & (~improved)
+        return _LSState(
+            f_best=jnp.where(improved, f1, s.f_best),
+            alpha_best=jnp.where(improved, a, s.alpha_best),
+            grow=s.grow | improved.astype(jnp.int32),
+            k=s.k + 1,
+            done=done_now,
+        )
+
+    init = _LSState(
+        f_best=f0,
+        alpha_best=jnp.zeros_like(f0),
+        grow=jnp.asarray(0, jnp.int32),
+        k=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+    )
+    s = jax.lax.while_loop(bt_cond, bt_body, init)
+    bracketed = s.grow > 0  # at least one improving step was found
+
+    # --- Phase 2: secant refinement on the directional derivative.
+    # Carry: (a_cur, a_prev, dphi_prev, f_best, a_best, g_best, k, done)
+    def refine_cond(t):
+        return (~t[-1]) & (t[-2] < 4)
+
+    def refine_body(t):
+        a_cur, a_prev, dphi_prev, fb, ab, gb, k, done = t
+        f1, g1 = vg_fn(x + a_cur * u)
+        f1 = f1.astype(dtype)
+        g1 = g1.astype(dtype)
+        dphi1 = jnp.vdot(g1, u)
+        better = f1 <= fb
+        fb2 = jnp.where(better, f1, fb)
+        ab2 = jnp.where(better, a_cur, ab)
+        gb2 = jnp.where(better, g1, gb)
+        # GSL-style stop: new gradient nearly orthogonal to search direction.
+        ok = jnp.abs(dphi1) <= tol * jnp.linalg.norm(g1)
+        # Secant step toward phi'(a) = 0 between (a_prev, a_cur).
+        denom = dphi1 - dphi_prev
+        step = dphi1 * (a_cur - a_prev) / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+        a_next = a_cur - step
+        a_next = jnp.clip(a_next, 0.05 * a_cur, 4.0 * a_cur)
+        return (a_next, a_cur, dphi1, fb2, ab2, gb2, k + 1, ok)
+
+    _, _, _, f_r, a_r, g_r, _, _ = jax.lax.while_loop(
+        refine_cond,
+        refine_body,
+        (s.alpha_best, jnp.zeros_like(s.alpha_best), dphi0,
+         s.f_best, s.alpha_best, g0, jnp.asarray(0, jnp.int32), ~bracketed),
+    )
+
+    # If we never bracketed, evaluate the gradient at x (unchanged state).
+    f_out = jnp.where(bracketed, f_r, f0)
+    a_out = jnp.where(bracketed, a_r, 0.0)
+    g_out = jnp.where(bracketed, g_r, g0)
+    return a_out, f_out, g_out, bracketed
+
+
+class _CGState(NamedTuple):
+    x: jnp.ndarray
+    f: jnp.ndarray
+    f_prev: jnp.ndarray
+    g: jnp.ndarray
+    d: jnp.ndarray
+    alpha0: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+
+def minimize_fr_cg(
+    value_and_grad_fn: Callable,
+    x0: jnp.ndarray,
+    f_fn: Callable | None = None,
+    *,
+    max_line_searches: int = 50,
+    initial_step: float = 0.1,
+    line_search_tol: float = 0.05,
+    grad_tol: float = 1e-3,
+    fun_tol: float = 1e-4,
+    max_fevals_per_linesearch: int = 16,
+) -> CGResult:
+    """Minimize a smooth function with Fletcher-Reeves nonlinear CG.
+
+    value_and_grad_fn: x -> (f, g). f_fn: x -> f (cheaper forward-only path
+    used during bracketing; defaults to value_and_grad_fn's value).
+    """
+    if f_fn is None:
+        f_fn = lambda x: value_and_grad_fn(x)[0]
+
+    dim = x0.shape[-1] if x0.ndim else 1
+    restart_every = max(dim, 2)
+    dtype = x0.dtype
+
+    f0, g0 = value_and_grad_fn(x0)
+    f0 = f0.astype(dtype)
+    g0 = g0.astype(dtype)
+
+    def cond(s: _CGState):
+        return (s.status == RUNNING) & (s.it < max_line_searches)
+
+    def body(s: _CGState):
+        dnorm = jnp.linalg.norm(s.d)
+        u = s.d / jnp.where(dnorm == 0, 1.0, dnorm)
+        descent = jnp.vdot(s.g, u) < 0
+        # Restart on non-descent direction.
+        u = jnp.where(descent, u, -s.g / jnp.maximum(jnp.linalg.norm(s.g), 1e-30))
+
+        alpha, f_new, g_new, ok = _line_search(
+            f_fn, value_and_grad_fn, s.x, s.f, s.g, u,
+            s.alpha0, line_search_tol, max_fevals_per_linesearch,
+        )
+        x_new = s.x + alpha * u
+
+        # Convergence tests, in the reference's order and form
+        # (local_optim_contrast_gsl.cpp:176-194): stagnation compares this
+        # iteration's minimum to the *previous* iteration's (never fires on
+        # the first line search, like GSL's cost_old = 1e9 init), then the
+        # gradient-norm test.
+        stagnated = jnp.abs(1.0 - f_new / (s.f_prev + 1e-7)) < fun_tol
+        gsmall = jnp.linalg.norm(g_new) < grad_tol
+        status = jnp.where(
+            ~ok, NO_PROGRESS,
+            jnp.where(stagnated, CONVERGED_FTOL, jnp.where(gsmall, CONVERGED_GTOL, RUNNING)),
+        ).astype(jnp.int32)
+
+        # Fletcher-Reeves direction update with periodic restart.
+        beta = jnp.vdot(g_new, g_new) / jnp.maximum(jnp.vdot(s.g, s.g), 1e-30)
+        it_new = s.it + 1
+        restart = (it_new % restart_every) == 0
+        d_new = jnp.where(restart, -g_new, -g_new + beta * (u * dnorm))
+
+        alpha0_new = jnp.where(ok, jnp.clip(2.0 * alpha, 1e-6, 1e3), s.alpha0)
+        return _CGState(
+            x=jnp.where(ok, x_new, s.x),
+            f=jnp.where(ok, f_new, s.f),
+            f_prev=s.f,
+            g=jnp.where(ok, g_new, s.g),
+            d=d_new,
+            alpha0=alpha0_new,
+            it=it_new,
+            status=status,
+        )
+
+    init = _CGState(
+        x=x0,
+        f=f0,
+        f_prev=jnp.full_like(f0, jnp.inf),
+        g=g0,
+        d=-g0,
+        alpha0=jnp.asarray(initial_step, f0.dtype),
+        it=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(RUNNING, jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    status = jnp.where(out.status == RUNNING, MAX_ITERS, out.status)
+    return CGResult(x=out.x, fun=out.f, iters=out.it, status=status)

@@ -1,0 +1,144 @@
+"""Bilinear vote accumulation as separable matmuls (the TPU-native scatter).
+
+The reference's hot loop scatters each warped event into its 4 neighbouring
+pixels with bilinear weights (local_image_warped_events.cpp:137-151,
+event_pano_warper.cpp:289-311). Random scatter-add is hostile to TPUs, so we
+reformulate: the bilinear vote of event e into pixel (i, j) factorizes as
+
+    vote(e, i, j) = w_e * hat(py_e - i) * hat(px_e - j),   hat(u) = max(0, 1-|u|)
+
+hence the whole image of warped events is a rank-factorized sum
+
+    IWE = Wy^T @ (w * Wx),  Wy[e, i] = hat(py_e - i),  Wx[e, j] = hat(px_e - j)
+
+i.e. one (H x N) @ (N x W) matmul that runs on the MXU. The hat functions are
+piecewise-linear in the warped coordinates, so JAX autodiff through this
+expression reproduces exactly the reference's hand-coded "Kronecker delta"
+derivative (local_image_warped_events.cpp:162-166) — no custom VJP needed.
+
+In-bounds semantics match the reference: votes are dropped unless
+``1 <= floor(px) < W-2 and 1 <= floor(py) < H-2``
+(local_image_warped_events.cpp:142, event_pano_warper.cpp:296).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def inbounds_mask(px: jnp.ndarray, py: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Reference in-bounds test on the *floored* warped point."""
+    fx = jnp.floor(px)
+    fy = jnp.floor(py)
+    return (fx >= 1) & (fx < width - 2) & (fy >= 1) & (fy < height - 2)
+
+
+def _hat_matrix(coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(N,) coords -> (N, size) matrix of bilinear hat weights.
+
+    Parametrized as the reference does — cell index xx = floor(px) with
+    fractional offset dx = px - xx voting (1-dx, dx) into columns (xx, xx+1)
+    (local_image_warped_events.cpp:139-151) — rather than the equivalent
+    max(0, 1-|px-j|) hat: with quantized sensor pixels, a zero-motion warp
+    lands every event exactly on integer coordinates where abs() has a zero
+    subgradient, which silently corrupts the CMax gradient at the cold-start
+    point omega=0. Differentiating only the fractional weights (floor under
+    stop_gradient) reproduces the reference's "Kronecker delta" derivative
+    at every point, integers included.
+    """
+    fl = jnp.floor(coords)
+    frac = coords - jax.lax.stop_gradient(fl)
+    cell = jax.lax.stop_gradient(fl).astype(jnp.int32)
+    grid = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], size), 1)
+    is0 = (grid == cell[:, None]).astype(coords.dtype)
+    is1 = (grid == cell[:, None] + 1).astype(coords.dtype)
+    return (1.0 - frac)[:, None] * is0 + frac[:, None] * is1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "precision")
+)
+def bilinear_accumulate(
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    weights: jnp.ndarray,
+    *,
+    height: int,
+    width: int,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Accumulate bilinear votes of N points into an (height, width) image.
+
+    Args:
+      px, py: (N,) warped pixel coordinates (x = column, y = row).
+      weights: (N,) vote weights; use 0 to mask padded events.
+      precision: matmul precision ("highest" = f32-accurate, "default" = fast).
+
+    Returns:
+      (height, width) float32 image of accumulated votes.
+    """
+    valid = inbounds_mask(px, py, height, width) & (weights != 0)
+    # Sanitize so padded/out-of-range coords can't produce NaN via 0*inf.
+    px = jnp.where(valid, px, -2.0)
+    py = jnp.where(valid, py, -2.0)
+    w = jnp.where(valid, weights, 0.0).astype(jnp.float32)
+
+    wx = _hat_matrix(px.astype(jnp.float32), width)
+    wy = _hat_matrix(py.astype(jnp.float32), height)
+    wy = wy * w[:, None]
+    return jnp.matmul(wy.T, wx, precision=precision)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "precision")
+)
+def bilinear_accumulate_two(
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    weights: jnp.ndarray,
+    select_second: jnp.ndarray,
+    *,
+    height: int,
+    width: int,
+    precision: str = "highest",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Accumulate votes into two images selected per event (IL_old / IL_new).
+
+    The back-end splits votes by event timestamp relative to the next window
+    start (event_pano_warper.cpp:296-311). Implemented as a single matmul with
+    a doubled row axis to keep one MXU pass.
+    """
+    sel = select_second.astype(jnp.float32)
+    img0 = bilinear_accumulate(
+        px, py, weights * (1.0 - sel), height=height, width=width, precision=precision
+    )
+    img1 = bilinear_accumulate(
+        px, py, weights * sel, height=height, width=width, precision=precision
+    )
+    return img0, img1
+
+
+def bilinear_sample(image: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear interpolation of ``image`` at (px, py); adjoint of the vote.
+
+    Utility for rendering/parity checks (reference relies on OpenCV remap-like
+    access patterns only for visualization).
+    """
+    H, W = image.shape
+    x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, H - 2)
+    dx = px - x0
+    dy = py - y0
+    v00 = image[y0, x0]
+    v01 = image[y0, x0 + 1]
+    v10 = image[y0 + 1, x0]
+    v11 = image[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - dx) * (1 - dy)
+        + v01 * dx * (1 - dy)
+        + v10 * (1 - dx) * dy
+        + v11 * dx * dy
+    )

@@ -1,0 +1,184 @@
+"""Back-end global warp: events -> panoramic image of warped events through a
+continuous-time SO(3) spline trajectory.
+
+Reference: EventWarper (src/backend/event_pano_warper.cpp:167-336). Per event
+batch the reference evaluates the spline with its hand-coded Jacobian, rotates
+each bearing, projects to the equirectangular map with its analytic 2x3
+Jacobian, chains everything, and scatters votes into IL_old/IL_new plus 3K
+derivative images. Here:
+
+- the batch spline evaluation is a vmapped gather + quaternion composition,
+- rotation and projection are fused tensor expressions,
+- the old/new vote split is two matmul-vote accumulations (ops/scatter.py),
+- the map-alignment blend I = IL + alpha * IG' and the Gaussian blur follow,
+- ALL derivatives (w.r.t. the 3K free knot increments) come from one
+  reverse-mode pass through this function — the 3K derivative images are
+  never materialized.
+
+The warp respects the reference's batch-sharing semantics: all events in an
+`event_batch_size` batch share the spline pose at the batch-midpoint time
+(event_pano_warper.cpp:238-251), and in-batch decimation by event_sample_rate
+(:262) is applied by zeroing vote weights (static shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import lie, spline
+from ..calib import EquirectCamera
+from .blur import gaussian_blur
+from .contrast import contrast
+from .scatter import bilinear_accumulate_two
+
+
+class PanoWindow(NamedTuple):
+    """Fixed-shape device inputs for one back-end window.
+
+    bearings: (N, 3) per-event camera-frame rays.
+    batch_times: (B,) spline-evaluation times, relative to the window's spline
+                 origin (B = N / event_batch_size).
+    weights: (N,) vote weights (0 = padding or decimated).
+    is_old: (N,) True if the event leaves the window on the next slide
+            (ts < t_next_win_beg; event_pano_warper.cpp:298).
+    knots: (K, 4) window sub-trajectory control poses.
+    free_mask: (K,) 1.0 for knots optimized this window, 0.0 for frozen.
+    t0: scalar — time of knots[0] on the same clock as batch_times.
+    dt_knots: scalar knot spacing.
+    ig_prime: (H, W) global-map term IG' (zeros on the first window).
+    alpha: scalar map-alignment weight (event_pano_warper.cpp:134-165).
+    """
+
+    bearings: jnp.ndarray
+    batch_times: jnp.ndarray
+    weights: jnp.ndarray
+    is_old: jnp.ndarray
+    knots: jnp.ndarray
+    free_mask: jnp.ndarray
+    t0: jnp.ndarray
+    dt_knots: jnp.ndarray
+    ig_prime: jnp.ndarray
+    alpha: jnp.ndarray
+
+
+def warp_to_pano(
+    drotv: jnp.ndarray,
+    win: PanoWindow,
+    pano: EquirectCamera,
+    order: int,
+):
+    """Warp all events through the (perturbed) trajectory; returns (px, py)."""
+    knots = spline.apply_masked_increments(win.knots, drotv, win.free_mask)
+    q_batch = spline.evaluate(knots, win.batch_times, win.t0, win.dt_knots, order)
+    R_batch = lie.to_matrix(q_batch)  # (B, 3, 3)
+
+    B = win.batch_times.shape[0]
+    bearings = win.bearings.reshape(B, -1, 3)
+    rays_w = jnp.einsum("bij,bej->bei", R_batch, bearings).reshape(-1, 3)
+    uv = pano.project(rays_w)
+    return uv[:, 0], uv[:, 1]
+
+
+def pano_iwe(
+    drotv: jnp.ndarray,
+    win: PanoWindow,
+    pano: EquirectCamera,
+    order: int,
+    blur_sigma: float,
+    precision: str = "highest",
+):
+    """IL_old, IL_new, and the blended+blurred optimization image I.
+
+    Mirrors EventWarper::computeImageOfWarpedEvents
+    (event_pano_warper.cpp:167-231): I = (IL_old + IL_new) + alpha*IG',
+    then Gaussian blur."""
+    px, py = warp_to_pano(drotv, win, pano, order)
+    il_old, il_new = bilinear_accumulate_two(
+        px, py, win.weights, ~win.is_old,
+        height=pano.height, width=pano.width, precision=precision,
+    )
+    il = il_old + il_new
+    image = il + win.alpha * win.ig_prime
+    image = gaussian_blur(image, blur_sigma, precision=precision)
+    return il_old, il_new, image
+
+
+def make_pano_objective(
+    win: PanoWindow,
+    pano: EquirectCamera,
+    order: int,
+    blur_sigma: float,
+    measure: int,
+    precision: str = "highest",
+):
+    """Negative-contrast objective over flattened knot increments R^{3K}.
+
+    Equivalent of the GSL callback global_contrast_fdf
+    (global_optim_contrast_gsl_analytical.cpp:17-68) with the gradient by
+    autodiff instead of 3K derivative images."""
+    K = win.knots.shape[0]
+
+    def f(flat_drotv):
+        drotv = flat_drotv.reshape(K, 3)
+        _, _, image = pano_iwe(drotv, win, pano, order, blur_sigma, precision)
+        return -contrast(image, measure)
+
+    return f, jax.value_and_grad(f)
+
+
+def event_density(image: jnp.ndarray, lam0: float = 1.0) -> jnp.ndarray:
+    """Event density = sum(I) / aggregated support area (Gallego CVPR'19
+    measure used by updateAlpha, event_pano_warper.cpp:142-159)."""
+    area = jnp.sum(1.0 - jnp.exp(-image / lam0))
+    num = jnp.sum(image)
+    return num / jnp.maximum(area, 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def compute_alpha(il: jnp.ndarray, ig_prime: jnp.ndarray) -> jnp.ndarray:
+    """alpha = density(IL) / density(IG'); 0 when the global map is empty
+    (event_pano_warper.cpp:134-165)."""
+    nonzero = jnp.sum((ig_prime != 0).astype(jnp.int32))
+    dens_ratio = event_density(il) / event_density(ig_prime)
+    return jnp.where(nonzero < 1, 0.0, dens_ratio)
+
+
+def fov_mask(
+    q_poses: jnp.ndarray,
+    sensor_lut: jnp.ndarray,
+    pano: EquirectCamera,
+    radius: int = 3,
+) -> jnp.ndarray:
+    """Union of sensor-FOV footprints on the pano for a set of poses, dilated
+    by ``radius`` (setUpdateTimesIG, event_pano_warper.cpp:81-107).
+
+    q_poses: (P, 4) quaternions; sensor_lut: (H*W, 3) sensor bearings.
+    Returns (Hp, Wp) int32 0/1 mask.
+    """
+    R = lie.to_matrix(q_poses)  # (P, 3, 3)
+    rays = jnp.einsum("pij,nj->pni", R, sensor_lut).reshape(-1, 3)
+    uv = pano.project(rays)
+    ix = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, pano.width - 1)
+    iy = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, pano.height - 1)
+    flat = iy * pano.width + ix
+    hits = jnp.zeros(pano.height * pano.width, jnp.int32).at[flat].max(1)
+    mask = hits.reshape(pano.height, pano.width)
+    k = 2 * radius + 1
+    mask = jax.lax.reduce_window(
+        mask, 0, jax.lax.max, (k, k), (1, 1), "SAME"
+    )
+    return mask
+
+
+@jax.jit
+def accumulate_global_map(
+    ig: jnp.ndarray, il_old: jnp.ndarray, update_times: jnp.ndarray, max_updates: int
+) -> jnp.ndarray:
+    """IG += IL_old wherever the per-pixel update count is still below the
+    saturation limit (updateIG, event_pano_warper.cpp:109-126)."""
+    keep = update_times <= max_updates
+    return jnp.where(keep, ig + il_old, ig)

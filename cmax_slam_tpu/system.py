@@ -1,0 +1,117 @@
+"""System orchestration: wire the front-end and back-end over a shared event
+store and drive them from an event stream.
+
+Rebuild of CMaxSLAM (src/cmax_slam.cpp:14-161) without ROS: construction loads
+a SystemConfig, precomputes the bearing-vector LUT from the camera
+calibration, and cross-wires the two stages. The reference's callback-thread /
+worker-thread pipeline (src/cmax_slam.cpp:28,86,92) becomes a cooperative
+loop: pushing events advances the front-end; every new angular-velocity
+estimate feeds the back-end, which consumes windows as they complete. Device
+work is asynchronously dispatched by JAX, so front-end and back-end programs
+still overlap on the TPU without host threads or mutexes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional
+
+import numpy as np
+
+from .backend import Backend, WindowResult
+from .calib import CameraCalibration, bearing_lut
+from .config import SystemConfig
+from .frontend import AngVelEstimate, Frontend
+from .io.events import EventStore
+from .ops.warp_local import CameraParams
+from .utils.metrics import Metrics
+
+
+class CMaxSLAM:
+    def __init__(
+        self,
+        calib: CameraCalibration,
+        cfg: Optional[SystemConfig] = None,
+        run_backend: bool = True,
+    ):
+        self.cfg = cfg if cfg is not None else SystemConfig()
+        self.calib = calib
+        self.metrics = Metrics()
+
+        lut = bearing_lut(calib)
+        K = calib.K
+        cam = CameraParams(
+            fx=float(K[0, 0]), fy=float(K[1, 1]),
+            cx=float(K[0, 2]), cy=float(K[1, 2]),
+            width=calib.width, height=calib.height,
+        )
+
+        self.store = EventStore()
+        self.frontend = Frontend(
+            cam, lut, self.cfg.frontend, store=self.store, metrics=self.metrics
+        )
+        self.backend = (
+            Backend(
+                calib.width, calib.height, lut, self.cfg.backend,
+                store=self.store,
+                frontend_sample_rate=self.cfg.frontend_event_sample_rate,
+                metrics=self.metrics,
+            )
+            if run_backend
+            else None
+        )
+        self._decim_phase = 0
+
+    # ------------------------------------------------------------------
+    def push_events(self, xs, ys, ts, ps) -> List[AngVelEstimate]:
+        """Feed a chunk of raw sensor events (eventsCallback,
+        src/cmax_slam.cpp:147-161): decimate by frontend_event_sample_rate,
+        advance the front-end, forward fresh ang-vels to the back-end."""
+        rate = self.cfg.frontend_event_sample_rate
+        if rate > 1:
+            # phase-continuous every-rate-th selection across chunks
+            n = len(ts)
+            sel = (np.arange(n) + self._decim_phase) % rate == 0
+            self._decim_phase = (self._decim_phase + n) % rate
+            xs, ys, ts, ps = xs[sel], ys[sel], ts[sel], ps[sel]
+
+        estimates = self.frontend.push_events(xs, ys, ts, ps)
+        if self.backend is not None:
+            for est in estimates:
+                self.backend.push_ang_vel(est.t, est.omega)
+            while self.backend.ready():
+                self.backend.step()
+        return estimates
+
+    def run(self, chunks: Iterable) -> None:
+        """Drive the full pipeline from an iterator of event chunks."""
+        for xs, ys, ts, ps in chunks:
+            self.push_events(xs, ys, ts, ps)
+
+    # ------------------------------------------------------------------
+    @property
+    def ang_vel_log(self):
+        """All front-end estimates as (T, 4) array [t, wx, wy, wz] (rad/s).
+        The reference publishes these in deg/s on /dvs/angular_velocity
+        (ang_vel_estimator.cpp:191-201)."""
+        es = self.frontend.estimates
+        if not es:
+            return np.zeros((0, 4))
+        return np.array([[e.t, *e.omega] for e in es])
+
+    @property
+    def trajectory_log(self):
+        """Back-end refined absolute poses as [(t, quat_wxyz)]."""
+        return self.backend.trajectory_log if self.backend else []
+
+    def window_results(self) -> List[WindowResult]:
+        return self.backend.results if self.backend else []
+
+    def save_checkpoint(self, path: str) -> None:
+        """Serialize full system state (knots, global map, cursors) — a
+        capability the reference lacks (SURVEY.md section 5)."""
+        state = {}
+        if self.backend is not None:
+            state.update(self.backend.checkpoint())
+        state["ang_vel_log"] = self.ang_vel_log
+        state["frontend_omega"] = self.frontend.omega
+        np.savez_compressed(path, **state)

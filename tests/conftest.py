@@ -1,0 +1,36 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Tests exercise TPU-shaped code paths (static shapes, shard_map over a Mesh)
+on host CPU so they run anywhere; the driver separately compiles the
+multi-chip path and benchmarks on real TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# x64 is enabled session-wide so float64 oracles are exact; production-path
+# tests pass explicit float32 inputs to exercise the TPU dtype discipline.
+jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: XLA compiles are very slow in this sandbox;
+# caching them on disk makes repeated test runs fast.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

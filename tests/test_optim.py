@@ -1,0 +1,66 @@
+"""Fletcher-Reeves CG minimizer: convergence on standard problems.
+
+The whole solve compiles to one XLA while_loop; checks mirror the reference's
+GSL budget and tolerances (local_optim_contrast_gsl.cpp:119-122)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cmax_slam_tpu.ops import optim
+
+
+def test_quadratic_bowl():
+    A = jnp.asarray([[3.0, 0.4, 0.0], [0.4, 2.0, 0.1], [0.0, 0.1, 1.0]])
+    b = jnp.asarray([1.0, -2.0, 0.5])
+
+    def f(x):
+        return 0.5 * x @ A @ x - b @ x
+
+    res = optim.minimize_fr_cg(jax.value_and_grad(f), jnp.zeros(3), grad_tol=1e-6)
+    x_star = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), x_star, atol=1e-4)
+    assert int(res.status) in (optim.CONVERGED_FTOL, optim.CONVERGED_GTOL)
+
+
+def test_rosenbrock_descends():
+    def f(x):
+        return (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    x0 = jnp.asarray([-0.5, 0.5])
+    res = optim.minimize_fr_cg(
+        jax.value_and_grad(f), x0, max_line_searches=50, fun_tol=1e-12, grad_tol=1e-8
+    )
+    assert float(res.fun) < float(f(x0)) * 0.02  # strong descent within budget
+
+
+def test_jit_compiles_whole_solve():
+    def f(x):
+        return jnp.sum((x - 1.5) ** 2) + 0.1 * jnp.sum(x**4)
+
+    @jax.jit
+    def solve(x0):
+        return optim.minimize_fr_cg(jax.value_and_grad(f), x0, grad_tol=1e-6)
+
+    res = solve(jnp.zeros(4))
+    res2 = solve(jnp.full(4, 3.0))
+    assert np.allclose(np.asarray(res.x), np.asarray(res2.x), atol=1e-3)
+
+
+def test_stagnation_tolerance_stops_early():
+    def f(x):
+        return jnp.sum(x * x)
+
+    res = optim.minimize_fr_cg(
+        jax.value_and_grad(f), jnp.asarray([10.0, -7.0]), fun_tol=1e-4, grad_tol=1e-30
+    )
+    assert int(res.iters) < 50
+
+
+def test_already_converged_at_start():
+    def f(x):
+        return jnp.sum(x * x)
+
+    res = optim.minimize_fr_cg(jax.value_and_grad(f), jnp.zeros(3), grad_tol=1e-3)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    assert float(res.fun) <= 1e-12
