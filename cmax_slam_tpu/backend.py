@@ -115,6 +115,9 @@ class Backend:
         self.pose_latest: Optional[Tuple[float, np.ndarray]] = None
         self.results: List[WindowResult] = []
         self.trajectory_log: List[Tuple[float, np.ndarray]] = []
+        # Optional clamp on prefix retirement: absolute index the front-end
+        # still needs (deleteOldEvents' min(), ang_vel_estimator.cpp:149-152).
+        self.retain_from_fn = None
 
         # static window-knot count: round(win/dt) + degree
         self.K_win = int(round(self.win_size / cfg.trajectory.dt_knots)) + self.degree
@@ -174,7 +177,10 @@ class Backend:
         b = self.store.searchsorted_time(t_end - 1e-6, side="right")
         xs, ys, ts, ps = self.store.slice_abs(a, b)
         out = (xs.copy(), ys.copy(), ts.copy(), ps.copy())
-        self.store.drop_before(a)
+        drop_to = a
+        if self.retain_from_fn is not None:
+            drop_to = min(drop_to, self.retain_from_fn())
+        self.store.drop_before(drop_to)
         return out
 
     def _get_ang_vel_subset(self, t_beg: float, t_end: float):
@@ -469,6 +475,24 @@ class Backend:
             )
             img[mask > 0] = np.array([255, 0, 0], np.uint8)
         return img
+
+    def restore(self, d) -> None:
+        """Inverse of checkpoint(): resume a run mid-stream."""
+        knots = np.asarray(d["knots"])
+        if len(knots):
+            self.traj = spline.Trajectory(
+                float(d["traj_t_beg"]), self.cfg.trajectory.dt_knots, self.order
+            )
+            self.traj.push_ctrl_poses(knots)
+        self.IG = np.asarray(d["IG"], np.float32)
+        self.update_times = np.asarray(d["update_times"], np.int32)
+        self.count_window = int(d["count_window"])
+        self.t_win_beg = float(d["t_win_beg"])
+        self.t_win_end = float(d["t_win_end"])
+        self.t_av_beg = self.t_win_beg
+        self.t_av_end = self.t_win_end
+        self.initialized = bool(len(knots))
+        self.first_window = self.count_window == 0
 
     def checkpoint(self) -> dict:
         """Serializable back-end state (SURVEY.md section 5: the reference has

@@ -1,0 +1,135 @@
+"""Command-line entry point: run CMax-SLAM on an event file.
+
+Replaces the reference's process entry + launch harness (src/node.cpp:7-25,
+launch/*.launch): dataset preset selection, parameter overrides, streaming
+replay, and result output (trajectory in TUM format, angular velocities,
+panoramic map PNG, checkpoint).
+
+Usage:
+  python -m cmax_slam_tpu.cli --events events.txt --calib calib.yaml \
+      --preset ijrr --out-dir out/ [--max-events N] [--set key=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from . import config as config_mod
+from .calib import CameraCalibration
+from .io.events import load_events, stream_chunks
+from .system import CMaxSLAM
+from .utils.image import write_png
+
+
+PRESETS = {
+    "default": lambda: config_mod.SystemConfig(),
+    "ijrr": config_mod.ijrr_config,
+    "ecrot_synth": config_mod.ecrot_synth_config,
+    "live_davis": config_mod.live_davis_config,
+}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="CMax-SLAM (TPU-native)")
+    p.add_argument("--events", required=True, help="event file (.txt/.npz/.h5)")
+    p.add_argument("--calib", required=True,
+                   help="calibration (.yaml ROS camera_info or .txt 'fx fy cx cy d...')")
+    p.add_argument("--width", type=int, default=None,
+                   help="sensor width (required for .txt calib)")
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--preset", default="default", choices=sorted(PRESETS))
+    p.add_argument("--out-dir", default="out")
+    p.add_argument("--max-events", type=int, default=None)
+    p.add_argument("--chunk-size", type=int, default=1 << 16)
+    p.add_argument("--no-backend", action="store_true")
+    p.add_argument("--checkpoint-every", type=float, default=0.0,
+                   help="save a checkpoint every N seconds of stream time")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="config override, dotted (e.g. frontend.dt_ang_vel=0.01)")
+    return p.parse_args(argv)
+
+
+def apply_overrides(cfg, overrides):
+    for kv in overrides:
+        key, _, val = kv.partition("=")
+        try:
+            parsed = json.loads(val)
+        except json.JSONDecodeError:
+            parsed = val
+        cfg = config_mod.replace(cfg, **{key: parsed})
+    return cfg
+
+
+def load_calibration(args) -> CameraCalibration:
+    if args.calib.endswith((".yaml", ".yml")):
+        return CameraCalibration.from_yaml(args.calib)
+    if args.width is None or args.height is None:
+        raise SystemExit("--width/--height required with .txt calibration")
+    return CameraCalibration.from_txt(args.calib, args.width, args.height)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    calib = load_calibration(args)
+    cfg = apply_overrides(PRESETS[args.preset](), args.set)
+
+    print(f"[cmax-slam-tpu] loading events from {args.events}", file=sys.stderr)
+    xs, ys, ts, ps = load_events(args.events, args.max_events)
+    print(f"[cmax-slam-tpu] {len(ts)} events spanning "
+          f"{ts[-1] - ts[0]:.2f}s", file=sys.stderr)
+
+    slam = CMaxSLAM(calib, cfg, run_backend=not args.no_backend)
+
+    t_wall = time.perf_counter()
+    next_ckpt = args.checkpoint_every
+    for chunk in stream_chunks(xs, ys, ts, ps, args.chunk_size):
+        slam.push_events(*chunk)
+        if args.checkpoint_every > 0 and len(chunk[2]) and (
+            chunk[2][-1] - ts[0] >= next_ckpt
+        ):
+            slam.save_checkpoint(os.path.join(args.out_dir, "checkpoint.npz"))
+            next_ckpt += args.checkpoint_every
+    wall = time.perf_counter() - t_wall
+
+    # --- outputs ---
+    av = slam.ang_vel_log
+    np.savetxt(
+        os.path.join(args.out_dir, "angular_velocity.txt"), av,
+        header="t wx wy wz  (rad/s)",
+    )
+    if slam.backend is not None and slam.backend.traj is not None:
+        from .utils.evaluate import write_tum_trajectory
+
+        write_tum_trajectory(
+            os.path.join(args.out_dir, "trajectory_tum.txt"), slam.backend.traj
+        )
+        write_png(os.path.join(args.out_dir, "pano_map.png"),
+                  slam.backend.render_map())
+        slam.save_checkpoint(os.path.join(args.out_dir, "final_state.npz"))
+
+    stats = {
+        "events": int(len(ts)),
+        "wall_seconds": wall,
+        "events_per_second": len(ts) / wall,
+        "ang_vel_estimates": int(len(av)),
+        "windows": len(slam.window_results()),
+        "metrics": slam.metrics.summary(),
+    }
+    with open(os.path.join(args.out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(json.dumps({k: stats[k] for k in
+                      ("events", "wall_seconds", "events_per_second",
+                       "ang_vel_estimates", "windows")}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

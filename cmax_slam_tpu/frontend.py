@@ -129,22 +129,34 @@ class Frontend:
         return self._process_ready_packets()
 
     def _scan_triggers(self) -> None:
-        """Find subset-cursor crossings among newly stored events."""
+        """Find subset-cursor crossings among newly stored events (native
+        C++ scan with numpy fallback, io/native.py)."""
+        from .io import native
+
         store = self.store
-        while self._next_check_abs < store.total:
-            # first event (>= scan position) past the cursor
-            idx = max(store.searchsorted_time(self._cursor, side="right"),
-                      self._next_check_abs)
-            if idx >= store.total:
-                self._next_check_abs = store.total
-                break
-            # event idx triggers: count = idx+1
-            count = idx + 1
+        ts = store._ts  # current resident window (store.base offset applies)
+        rel_next = max(self._next_check_abs - store.base, 0)
+        trig, cursor, rel_next = native.scan_triggers(
+            ts, self._cursor, rel_next, self.cfg.dt_ang_vel
+        )
+        self._cursor = cursor
+        self._next_check_abs = store.base + rel_next
+        for idx_rel in trig:
+            count = store.base + int(idx_rel) + 1
             beg = max(count - self.half, 0)
             end = count + self.half
             self._pending.append((beg, end))
-            self._cursor += self.cfg.dt_ang_vel
-            self._next_check_abs = idx + 1
+
+    def min_needed_abs_index(self) -> int:
+        """Oldest absolute event index the front-end may still read: pending
+        packet starts and the reach-back of the next (unformed) packet. The
+        back-end clamps its prefix retirement to this, mirroring
+        deleteOldEvents' min(idx_backend, ev_beg_idx_)
+        (ang_vel_estimator.cpp:149-152)."""
+        candidates = [max(self.store.total - self.half, 0)]
+        if self._pending:
+            candidates.append(self._pending[0][0])
+        return min(candidates)
 
     def _process_ready_packets(self) -> List[AngVelEstimate]:
         out = []

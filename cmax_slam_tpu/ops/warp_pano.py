@@ -130,6 +130,29 @@ def make_pano_objective(
     return f, jax.value_and_grad(f)
 
 
+def derivative_images(
+    win: PanoWindow,
+    pano: EquirectCamera,
+    order: int,
+    blur_sigma: float,
+) -> jnp.ndarray:
+    """Per-parameter derivative images d(IWE)/d(knot increments): (K, 3, H, W).
+
+    The reference accumulates these 3K channel images in its hot loop
+    (event_pano_warper.cpp:313-333) as the carrier of the analytic gradient;
+    our gradients never materialize them, but they remain available for
+    debugging/visualization parity (saveDerivativeImages,
+    src/utils/image_utils.cpp:41-62) via one forward-mode pass."""
+    K = win.knots.shape[0]
+
+    def image_of(drotv):
+        _, _, image = pano_iwe(drotv, win, pano, order, blur_sigma)
+        return image
+
+    J = jax.jacfwd(image_of)(jnp.zeros((K, 3), jnp.float32))  # (H, W, K, 3)
+    return jnp.moveaxis(J, (2, 3), (0, 1))
+
+
 def event_density(image: jnp.ndarray, lam0: float = 1.0) -> jnp.ndarray:
     """Event density = sum(I) / aggregated support area (Gallego CVPR'19
     measure used by updateAlpha, event_pano_warper.cpp:142-159)."""
@@ -169,7 +192,7 @@ def fov_mask(
     mask = hits.reshape(pano.height, pano.width)
     k = 2 * radius + 1
     mask = jax.lax.reduce_window(
-        mask, 0, jax.lax.max, (k, k), (1, 1), "SAME"
+        mask, jnp.asarray(0, mask.dtype), jax.lax.max, (k, k), (1, 1), "SAME"
     )
     return mask
 

@@ -59,6 +59,8 @@ class CMaxSLAM:
             if run_backend
             else None
         )
+        if self.backend is not None:
+            self.backend.retain_from_fn = self.frontend.min_needed_abs_index
         self._decim_phase = 0
 
     # ------------------------------------------------------------------
@@ -115,3 +117,11 @@ class CMaxSLAM:
         state["ang_vel_log"] = self.ang_vel_log
         state["frontend_omega"] = self.frontend.omega
         np.savez_compressed(path, **state)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore back-end state (trajectory knots, global map, window
+        cursors) and the front-end warm start from a checkpoint."""
+        d = np.load(path)
+        self.frontend.omega = np.asarray(d["frontend_omega"], np.float64)
+        if self.backend is not None:
+            self.backend.restore(d)

@@ -56,6 +56,22 @@ def save_image_maxabs(path: str, img: np.ndarray) -> None:
     write_png(path, out)
 
 
+def save_derivative_images(path: str, deriv: np.ndarray, cols: int = 3) -> None:
+    """Tile (K, 3, H, W) derivative images into one max-abs-scaled grid image
+    (saveDerivativeImages, src/utils/image_utils.cpp:41-62)."""
+    deriv = np.asarray(deriv)
+    K = deriv.shape[0]
+    flat = deriv.reshape(-1, *deriv.shape[-2:])
+    n = len(flat)
+    rows = (n + cols - 1) // cols
+    H, W = flat.shape[-2:]
+    canvas = np.zeros((rows * H, cols * W))
+    for i, img in enumerate(flat):
+        r, c = divmod(i, cols)
+        canvas[r * H : (r + 1) * H, c * W : (c + 1) * W] = img
+    save_image_maxabs(path, canvas)
+
+
 def write_pgm(path: str, img: np.ndarray) -> None:
     """Write a binary PGM (grayscale)."""
     img = np.asarray(img)

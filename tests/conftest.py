@@ -6,6 +6,16 @@ multi-chip path and benchmarks on real TPU hardware.
 """
 
 import os
+import sys
+
+# The sandbox injects an 'axon' PJRT plugin (TPU tunnel with REMOTE
+# compilation) via PYTHONPATH; with it loaded, even CPU-only runs stall for
+# minutes on network waits and every XLA compile goes through the tunnel.
+# Tests are CPU-only: strip it before jax import.
+sys.path = [p for p in sys.path if ".axon_site" not in p]
+os.environ["PYTHONPATH"] = ":".join(
+    p for p in os.environ.get("PYTHONPATH", "").split(":") if ".axon_site" not in p
+)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")

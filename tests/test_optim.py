@@ -40,7 +40,9 @@ def test_jit_compiles_whole_solve():
 
     @jax.jit
     def solve(x0):
-        return optim.minimize_fr_cg(jax.value_and_grad(f), x0, grad_tol=1e-6)
+        return optim.minimize_fr_cg(
+            jax.value_and_grad(f), x0, grad_tol=1e-6, fun_tol=1e-12
+        )
 
     res = solve(jnp.zeros(4))
     res2 = solve(jnp.full(4, 3.0))
