@@ -46,7 +46,12 @@ def test_jit_compiles_whole_solve():
 
     res = solve(jnp.zeros(4))
     res2 = solve(jnp.full(4, 3.0))
-    assert np.allclose(np.asarray(res.x), np.asarray(res2.x), atol=1e-3)
+    # Both starts must land at the same minimum to line-search resolution
+    # (GSL-style no-progress stopping leaves ~1e-3 slack near the optimum).
+    assert np.allclose(np.asarray(res.x), np.asarray(res2.x), atol=5e-3)
+    x_star = 1.1757  # root of 2(x-1.5) + 0.4 x^3
+    assert np.allclose(np.asarray(res.x), x_star, atol=5e-3)
+    assert np.allclose(np.asarray(res2.x), x_star, atol=5e-3)
 
 
 def test_stagnation_tolerance_stops_early():
