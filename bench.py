@@ -44,23 +44,29 @@ def main():
     )
     packet = jax.tree.map(jax.block_until_ready, packet)
 
-    @jax.jit
-    def warp_accumulate(omega, bearings, dts, weights):
-        p = warp_local.EventPacket(bearings, dts, weights)
-        return warp_local.local_iwe(omega, p, cam, 1.0, precision="default")
+    import functools
 
-    omega = jnp.asarray(omega_true * 0.9, jnp.float32)
+    omega0 = jnp.asarray(omega_true * 0.9, jnp.float32)
+    reps = 24
 
-    # Warmup / compile
-    warp_accumulate(omega, *packet).block_until_ready()
+    def step(carry, i):
+        # Dependent chain: each eval's omega depends on the previous IWE so
+        # device executions strictly serialize (honest throughput, no
+        # async-queue overlap). Solver-grade path: fused Pallas vote kernel
+        # at full f32 accuracy, Gaussian blur included.
+        omega = omega0 + carry * 1e-12 + i * 1e-6
+        p = warp_local.EventPacket(*packet)
+        iwe = warp_local.local_iwe(omega, p, cam, 1.0, precision="highest")
+        return jnp.mean(iwe), None
 
-    # Measure: many dependent evaluations to amortize dispatch.
-    reps = 30
+    @functools.partial(jax.jit, static_argnums=0)
+    def chain(k):
+        c, _ = jax.lax.scan(step, 0.0, jnp.arange(k, dtype=jnp.float32))
+        return c
+
+    chain(reps).block_until_ready()  # compile + warmup
     t0 = time.perf_counter()
-    acc = None
-    for i in range(reps):
-        acc = warp_accumulate(omega + 1e-5 * i, *packet)
-    acc.block_until_ready()
+    chain(reps).block_until_ready()
     dt = time.perf_counter() - t0
 
     ev_per_sec = reps * n_events / dt

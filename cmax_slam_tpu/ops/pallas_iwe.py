@@ -1,0 +1,221 @@
+"""Fused Pallas TPU kernel for bilinear vote accumulation.
+
+The XLA path (ops/scatter.py) materializes the per-event hat-weight matrices
+Wy (N, H) and Wx (N, W) in HBM — ~(H+W)*4 bytes of traffic per event, which
+caps throughput near 90 M ev/s/chip on v5e. This kernel streams event blocks
+through VMEM, builds the hat blocks on the VPU, and contracts them on the MXU
+into a VMEM-resident accumulator, so HBM traffic drops to the event data
+itself (~12 B/event). Grid steps run sequentially on a TPU core, making the
+accumulator pattern race-free.
+
+Semantics match scatter.bilinear_accumulate exactly (same in-bounds rule and
+floor-parametrized votes as the reference hot loop,
+local_image_warped_events.cpp:137-151); a custom VJP reproduces the same
+"differentiate only the fractional weights" gradient, also as a Pallas kernel.
+Use for images that fit VMEM (local IWEs, small panoramas); the XLA path
+remains the fallback for larger maps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Event block layout per grid step: ROWS x LANE events (TPU tiling wants the
+# second-to-last dim divisible by 8 and the last by 128). Rows are processed
+# with a fori_loop so hat-matrix buffers are reused, keeping VMEM bounded.
+ROWS = 8
+LANE = 1024
+BLOCK = ROWS * LANE
+
+
+def _hats(coords, size, dtype, with_deriv=False):
+    """(C,) coords -> (C, size) bilinear hat weights (+ d/dcoord factors)."""
+    fl = jnp.floor(coords)
+    frac = (coords - fl).astype(dtype)
+    cell = fl.astype(jnp.int32)
+    grid = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], size), 1)
+    is0 = (grid == cell[:, None]).astype(dtype)
+    is1 = (grid == cell[:, None] + 1).astype(dtype)
+    w = (1.0 - frac)[:, None] * is0 + frac[:, None] * is1
+    if not with_deriv:
+        return w, None
+    dw = is1 - is0  # d(weight)/d(coord): the reference's one-sided derivative
+    return w, dw
+
+
+def _sanitize(px, py, weights, height, width):
+    fx = jnp.floor(px)
+    fy = jnp.floor(py)
+    valid = (
+        (fx >= 1) & (fx < width - 2) & (fy >= 1) & (fy < height - 2)
+        & (weights != 0)
+    )
+    px = jnp.where(valid, px, -2.0)
+    py = jnp.where(valid, py, -2.0)
+    w = jnp.where(valid, weights, 0.0)
+    return px, py, w
+
+
+def _fwd_kernel(px_ref, py_ref, w_ref, out_ref, *, height, width, acc_dtype,
+                mxu_precision):
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def row(r, acc):
+        px, py, w = _sanitize(
+            px_ref[r, :], py_ref[r, :], w_ref[r, :], height, width
+        )
+        wx, _ = _hats(px, width, acc_dtype)
+        wy, _ = _hats(py, height, acc_dtype)
+        wy = wy * w.astype(acc_dtype)[:, None]
+        return acc + jax.lax.dot_general(
+            wy, wx, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision,
+        )
+
+    out_ref[:] += jax.lax.fori_loop(0, ROWS, row, jnp.zeros_like(out_ref))
+
+
+def _bwd_kernel(px_ref, py_ref, w_ref, g_ref, dpx_ref, dpy_ref, dw_ref,
+                *, height, width, acc_dtype, mxu_precision):
+    """VJP: given upstream d(IWE) (H, W), produce dpx, dpy, dweights.
+
+    Two MXU contractions per row chain the upstream gradient through the hat
+    derivatives — the reference's Kronecker-delta gradient votes
+    (local_image_warped_events.cpp:162-166) run in reverse.
+    """
+    g = g_ref[:].astype(acc_dtype)  # (H, W)
+
+    def row(r, _):
+        px, py, w = _sanitize(
+            px_ref[r, :], py_ref[r, :], w_ref[r, :], height, width
+        )
+        wx, dwx = _hats(px, width, acc_dtype, with_deriv=True)
+        wy, dwy = _hats(py, height, acc_dtype, with_deriv=True)
+
+        # a[e, x] = sum_y wy[e, y] g[y, x]   (C, W)
+        a = jax.lax.dot_general(
+            wy, g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=mxu_precision,
+        )
+        # b[e, y] = sum_x wx[e, x] g[y, x]   (C, H)
+        b = jax.lax.dot_general(
+            wx, g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=mxu_precision,
+        )
+        wf = w.astype(jnp.float32)
+        dpx_ref[r, :] = wf * jnp.sum(a * dwx.astype(jnp.float32), axis=1)
+        dpy_ref[r, :] = wf * jnp.sum(b * dwy.astype(jnp.float32), axis=1)
+        dw_ref[r, :] = jnp.sum(a * wx.astype(jnp.float32), axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, ROWS, row, 0)
+
+
+def _pad_blocks(px, py, weights):
+    n = px.shape[0]
+    pad = (-n) % BLOCK
+    if pad:
+        px = jnp.pad(px, (0, pad))
+        py = jnp.pad(py, (0, pad))
+        weights = jnp.pad(weights, (0, pad))
+    blocks = px.shape[0] // BLOCK
+    shape = (blocks * ROWS, LANE)
+    return px.reshape(shape), py.reshape(shape), weights.reshape(shape), blocks, n
+
+
+def _ev_spec():
+    return pl.BlockSpec((ROWS, LANE), lambda k: (k, 0), memory_space=pltpu.VMEM)
+
+
+def _resolve(precision: str):
+    """precision 'highest' -> f32-accurate MXU passes; 'default' -> fast
+    single-pass (bf16-rounded inputs, ~3x faster, rel err ~1e-3)."""
+    if precision == "highest":
+        return jnp.float32, jax.lax.Precision.HIGHEST
+    return jnp.float32, jax.lax.Precision.DEFAULT
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def bilinear_accumulate_pallas(
+    px, py, weights, height: int, width: int, precision: str = "highest"
+):
+    """Drop-in Pallas replacement for scatter.bilinear_accumulate."""
+    return _fwd_impl(px, py, weights, height, width, precision)
+
+
+def _fwd_impl(px, py, weights, height, width, precision):
+    acc_dtype, mxu = _resolve(precision)
+    px2, py2, w2, blocks, _ = _pad_blocks(
+        px.astype(jnp.float32), py.astype(jnp.float32), weights.astype(jnp.float32)
+    )
+    kernel = functools.partial(
+        _fwd_kernel, height=height, width=width, acc_dtype=acc_dtype,
+        mxu_precision=mxu,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[_ev_spec(), _ev_spec(), _ev_spec()],
+        out_specs=pl.BlockSpec(
+            (height, width), lambda k: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((height, width), jnp.float32),
+    )(px2, py2, w2)
+
+
+def _vjp_fwd(px, py, weights, height, width, precision):
+    out = _fwd_impl(px, py, weights, height, width, precision)
+    return out, (px, py, weights)
+
+
+def _vjp_bwd(height, width, precision, res, g):
+    px, py, weights = res
+    n = px.shape[0]
+    acc_dtype, mxu = _resolve(precision)
+    px2, py2, w2, blocks, _ = _pad_blocks(
+        px.astype(jnp.float32), py.astype(jnp.float32), weights.astype(jnp.float32)
+    )
+    kernel = functools.partial(
+        _bwd_kernel, height=height, width=width, acc_dtype=acc_dtype,
+        mxu_precision=mxu,
+    )
+    img_spec = pl.BlockSpec((height, width), lambda k: (0, 0),
+                            memory_space=pltpu.VMEM)
+    dpx, dpy, dw = pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[_ev_spec(), _ev_spec(), _ev_spec(), img_spec],
+        out_specs=[_ev_spec(), _ev_spec(), _ev_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((blocks * ROWS, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((blocks * ROWS, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((blocks * ROWS, LANE), jnp.float32),
+        ],
+    )(px2, py2, w2, g.astype(jnp.float32))
+    return (
+        dpx.reshape(-1)[:n].astype(px.dtype),
+        dpy.reshape(-1)[:n].astype(py.dtype),
+        dw.reshape(-1)[:n].astype(weights.dtype),
+    )
+
+
+bilinear_accumulate_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def vmem_fits(height: int, width: int, budget_bytes: int = 6 * 1024 * 1024) -> bool:
+    """Whether the accumulator (+ hat blocks) fits comfortably in VMEM."""
+    acc = height * ((width + 127) // 128 * 128) * 4
+    hats = LANE * (height + width) * 4 * 2
+    return acc + hats < budget_bytes

@@ -109,22 +109,45 @@ def warp_events(omega: jnp.ndarray, packet: EventPacket, cam: CameraParams):
     return px, py
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "blur_sigma", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("cam", "blur_sigma", "precision", "impl")
+)
 def local_iwe(
     omega: jnp.ndarray,
     packet: EventPacket,
     cam: CameraParams,
     blur_sigma: float = 1.0,
     precision: str = "highest",
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Image of warped events for a packet under angular velocity omega.
 
     Mirrors AngVelEstimator::computeImageOfWarpedEvents
-    (local_image_warped_events.cpp:10-57)."""
+    (local_image_warped_events.cpp:10-57).
+
+    impl: 'xla' = matmul-vote via ops/scatter.py; 'pallas' = fused VMEM
+    kernel (ops/pallas_iwe.py); 'auto' = pallas on TPU when the image fits
+    VMEM, else xla.
+    """
     px, py = warp_events(omega, packet, cam)
-    iwe = bilinear_accumulate(
-        px, py, packet.weights, height=cam.height, width=cam.width, precision=precision
-    )
+    if impl == "auto":
+        from .pallas_iwe import vmem_fits
+
+        use_pallas = jax.default_backend() == "tpu" and vmem_fits(
+            cam.height, cam.width
+        )
+        impl = "pallas" if use_pallas else "xla"
+    if impl == "pallas":
+        from .pallas_iwe import bilinear_accumulate_pallas
+
+        iwe = bilinear_accumulate_pallas(
+            px, py, packet.weights, cam.height, cam.width, precision
+        )
+    else:
+        iwe = bilinear_accumulate(
+            px, py, packet.weights, height=cam.height, width=cam.width,
+            precision=precision,
+        )
     return gaussian_blur(iwe, blur_sigma, precision=precision)
 
 

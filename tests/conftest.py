@@ -17,7 +17,7 @@ os.environ["PYTHONPATH"] = ":".join(
     p for p in os.environ.get("PYTHONPATH", "").split(":") if ".axon_site" not in p
 )
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the sandbox presets 'axon'
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -25,6 +25,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+
+# The sandbox's sitecustomize imports jax at interpreter startup (before this
+# conftest), so JAX_PLATFORMS was already read as 'axon'; force CPU via the
+# live config too.
+jax.config.update("jax_platforms", "cpu")
 
 # x64 is enabled session-wide so float64 oracles are exact; production-path
 # tests pass explicit float32 inputs to exercise the TPU dtype discipline.

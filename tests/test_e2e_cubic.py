@@ -1,0 +1,77 @@
+"""End-to-end SLAM with the cubic (order-4) spline back-end — the reference's
+spline_degree=3 mode (BASELINE config 4)."""
+
+import numpy as np
+import pytest
+
+from cmax_slam_tpu import spline
+from cmax_slam_tpu.calib import CameraCalibration
+from cmax_slam_tpu.config import (
+    BackendConfig, FrontendConfig, PanoMapOptions, SlidingWindowOptions,
+    SystemConfig, TrajectoryOptions, WarpOptions,
+)
+from cmax_slam_tpu.io import synthetic
+from cmax_slam_tpu.system import CMaxSLAM
+from cmax_slam_tpu.utils.evaluate import rotation_rms_deg
+
+from test_e2e import smooth_rot_fn, W, H, FX, FY
+
+
+def test_cubic_backend_rms():
+    rng = np.random.default_rng(11)
+    duration = 0.8
+    rot_fn, omega_fn = smooth_rot_fn(duration)
+    n = 80000
+    ev = synthetic.rotating_camera_events(
+        rng, n, duration, np.zeros(3), FX, FY, W / 2, H / 2, W, H,
+        n_points=250, rot_fn=rot_fn,
+    )
+    calib = CameraCalibration(
+        width=W, height=H,
+        K=np.array([[FX, 0, W / 2], [0, FY, H / 2], [0, 0, 1.0]]),
+    )
+    cfg = SystemConfig(
+        frontend=FrontendConfig(
+            num_events_per_packet=4000, dt_ang_vel=0.02,
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100),
+        ),
+        backend=BackendConfig(
+            sliding_window=SlidingWindowOptions(0.2, 0.1),
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100),
+            trajectory=TrajectoryOptions(dt_knots=0.05, spline_degree=3),
+            pano_map=PanoMapOptions(
+                pano_height=128, pano_width=256, backend_min_ev_rate=10000,
+                max_update_times=200,
+            ),
+        ),
+    )
+    slam = CMaxSLAM(calib, cfg)
+    for i in range(0, n, 20000):
+        slam.push_events(ev.xs[i:i+20000], ev.ys[i:i+20000],
+                         ev.ts[i:i+20000], ev.pols[i:i+20000])
+
+    results = slam.window_results()
+    assert len(results) >= 4
+    assert all(r.ran_ba for r in results)
+
+    traj = slam.backend.traj
+    assert traj.order == 4
+    t0 = traj.t_beg + 1e-6
+    t1 = traj.max_time() - 1e-6
+    times = np.linspace(t0, t1, 50)
+    q_est = traj.evaluate(times)
+    R_gt = rot_fn(times)
+    q_gt = np.stack([
+        spline.from_matrix_np(R) if hasattr(spline, "from_matrix_np") else _q(R)
+        for R in R_gt
+    ])
+    rms, errs = rotation_rms_deg(times, q_gt, q_est, alignment="first")
+    assert rms < 3.0, f"cubic trajectory RMS {rms} deg; errs={np.round(errs,2)}"
+
+
+def _q(R):
+    """Rotation matrix -> quaternion (wxyz), numpy."""
+    from scipy.spatial.transform import Rotation
+
+    q = Rotation.from_matrix(R).as_quat()  # xyzw
+    return np.array([q[3], q[0], q[1], q[2]])
