@@ -1,0 +1,135 @@
+"""Batched (throughput-mode) front-end tracking: solve many packets at once.
+
+The reference's live mode sheds load by decimating events
+(launch/live_davis.launch: keep 10 percent). The TPU-native alternative is to
+batch: cut the whole stream into packets up front, stack them into one
+(P, S) tensor, and run every packet's CMax solve simultaneously — vmapped on
+one chip, optionally sharded over a device mesh (BASELINE config 5:
+"batched multi-window CMax at millions of events/sec throughput").
+
+Warm starting, which the sequential front-end gets for free, is recovered
+with Jacobi-style sweeps: pass 1 solves all packets from zero, pass 2
+re-solves each packet initialized from its left neighbor's pass-1 solution.
+Two parallel sweeps recover nearly all of the sequential accuracy while
+keeping every solve independent.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import FrontendConfig
+from ..io import native
+from ..ops import warp_local
+from .sharding import batched_packet_solve
+
+
+class PacketBatch(NamedTuple):
+    bearings: jnp.ndarray  # (P, S, 3)
+    dts: jnp.ndarray       # (P, S)
+    weights: jnp.ndarray   # (P, S)
+    times: np.ndarray      # (P,) packet grid timestamps (host)
+
+
+def cut_packets(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ts: np.ndarray,
+    lut: np.ndarray,
+    cam: warp_local.CameraParams,
+    cfg: FrontendConfig,
+) -> PacketBatch:
+    """Cut a whole stream into fixed-size packets with the reference's
+    centered-window semantics (ang_vel_estimator.cpp:74-97), vectorized."""
+    half = cfg.num_events_per_packet // 2
+    bs = cfg.warp.event_batch_size
+    S = ((2 * half + bs - 1) // bs) * bs
+
+    t0 = float(ts[0])
+    cursor0 = t0 + 0.5 * cfg.dt_ang_vel
+    trig, _, _ = native.scan_triggers(ts, cursor0, 0, cfg.dt_ang_vel,
+                                      max_out=1 << 22)
+    # keep only complete packets
+    trig = trig[(trig + 1 + half) <= len(ts)]
+    Pn = len(trig)
+    bearings = np.zeros((Pn, S, 3), np.float32)
+    dts = np.zeros((Pn, S), np.float32)
+    weights = np.zeros((Pn, S), np.float32)
+    times = np.zeros(Pn, np.float64)
+
+    for k, idx in enumerate(trig):
+        count = int(idx) + 1
+        beg = max(count - half, 0)
+        end = count + half
+        t_packet = cursor0 + k * cfg.dt_ang_vel - 0.5 * cfg.dt_ang_vel \
+            + 0.5 * cfg.dt_ang_vel  # grid time t0 + dt/2 + k*dt
+        t_packet = t0 + 0.5 * cfg.dt_ang_vel + k * cfg.dt_ang_vel
+        b, tr, w = native.gather_packet(
+            xs, ys, ts, beg, end, S, lut, cam.width, t_packet
+        )
+        bearings[k] = b
+        weights[k] = w
+        # batch-midpoint dts, relative to the packet grid time
+        n = end - beg
+        valid = np.zeros(S, bool)
+        valid[:n] = True
+        tsb = np.zeros(S)
+        tsb[:n] = ts[beg:end] - t_packet
+        B = S // bs
+        t2 = tsb.reshape(B, bs)
+        v2 = valid.reshape(B, bs)
+        tf = np.where(v2.any(1), np.where(v2, t2, np.inf).min(1), 0.0)
+        tl = np.where(v2.any(1), np.where(v2, t2, -np.inf).max(1), 0.0)
+        mid = tf + 0.5 * (tl - tf)
+        dts[k] = np.repeat(mid, bs).astype(np.float32)
+        times[k] = t_packet
+
+    return PacketBatch(
+        bearings=jnp.asarray(bearings),
+        dts=jnp.asarray(dts),
+        weights=jnp.asarray(weights),
+        times=times,
+    )
+
+
+def track_batched(
+    batch: PacketBatch,
+    cam: warp_local.CameraParams,
+    cfg: FrontendConfig,
+    mesh: Optional[Mesh] = None,
+    sweeps: int = 2,
+):
+    """Solve all packets' angular velocities in parallel.
+
+    Returns (times (P,), omegas (P, 3) numpy). With a mesh, the packet axis
+    is sharded across devices (pure DP — no collectives in the hot loop)."""
+    solve = batched_packet_solve(
+        cam, cfg.warp.blur_sigma, cfg.contrast_measure, cfg.optim
+    )
+    if mesh is not None:
+        shard = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        solve = jax.jit(solve, in_shardings=(shard, shard, shard, shard),
+                        out_shardings=(rep, rep, rep))
+        Pn = batch.bearings.shape[0]
+        n_dev = mesh.devices.size
+        if Pn % n_dev:
+            raise ValueError(f"packet count {Pn} not divisible by mesh size {n_dev}")
+    else:
+        solve = jax.jit(solve)
+
+    omegas = jnp.zeros((batch.bearings.shape[0], 3), jnp.float32)
+    for sweep in range(max(sweeps, 1)):
+        if sweep > 0:
+            # Jacobi warm start: neighbor's previous solution.
+            omegas = jnp.concatenate([omegas[:1], omegas[:-1]], axis=0)
+        omegas, costs, iters = solve(
+            batch.bearings, batch.dts, batch.weights, omegas
+        )
+    return batch.times, np.asarray(omegas), np.asarray(costs), np.asarray(iters)

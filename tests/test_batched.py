@@ -1,0 +1,67 @@
+"""Throughput-mode batched tracking: parallel packet solves match the
+sequential front-end, single-chip (vmap) and sharded over the 8-device mesh
+(BASELINE config 5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cmax_slam_tpu.config import FrontendConfig, WarpOptions
+from cmax_slam_tpu.io import synthetic
+from cmax_slam_tpu.ops.warp_local import CameraParams
+from cmax_slam_tpu.parallel import batched, sharding
+
+W, H = 120, 90
+FX = FY = 90.0
+CAM = CameraParams(fx=FX, fy=FY, cx=W / 2, cy=H / 2, width=W, height=H)
+LUT = synthetic.identity_lut(W, H, FX, FY, W / 2, H / 2)
+CFG = FrontendConfig(
+    num_events_per_packet=4096, dt_ang_vel=0.02,
+    warp=WarpOptions(blur_sigma=1.0, event_batch_size=128),
+)
+
+
+@pytest.fixture(scope="module")
+def stream():
+    rng = np.random.default_rng(9)
+    omega = np.array([0.8, -1.1, 1.7])
+    ev = synthetic.rotating_camera_events(
+        rng, 40000, 0.36, omega, FX, FY, W / 2, H / 2, W, H, n_points=220
+    )
+    return ev, omega
+
+
+def test_cut_packets_grid(stream):
+    ev, omega = stream
+    batch = batched.cut_packets(ev.xs, ev.ys, ev.ts, LUT, CAM, CFG)
+    assert batch.bearings.shape[0] >= 10
+    np.testing.assert_allclose(np.diff(batch.times), CFG.dt_ang_vel, atol=1e-9)
+    # packets after the first are fully populated (the first clamps its
+    # reach-back at the stream start, like the reference's max(count-half, 0))
+    counts = np.asarray(batch.weights.sum(axis=1))
+    assert counts[1:].min() >= CFG.num_events_per_packet
+
+
+def test_batched_tracking_accuracy(stream):
+    ev, omega = stream
+    batch = batched.cut_packets(ev.xs, ev.ys, ev.ts, LUT, CAM, CFG)
+    times, omegas, costs, iters = batched.track_batched(batch, CAM, CFG)
+    errs = np.linalg.norm(omegas - omega, axis=1)
+    assert np.median(errs) < 0.2, f"median err {np.median(errs)}"
+
+
+def test_batched_tracking_sharded(stream):
+    ev, omega = stream
+    batch = batched.cut_packets(ev.xs, ev.ys, ev.ts, LUT, CAM, CFG)
+    mesh = sharding.make_mesh(8)
+    Pn = (batch.bearings.shape[0] // 8) * 8
+    batch8 = batched.PacketBatch(
+        bearings=batch.bearings[:Pn], dts=batch.dts[:Pn],
+        weights=batch.weights[:Pn], times=batch.times[:Pn],
+    )
+    times, omegas, costs, iters = batched.track_batched(
+        batch8, CAM, CFG, mesh=mesh, sweeps=1
+    )
+    errs = np.linalg.norm(omegas - omega, axis=1)
+    assert np.median(errs) < 0.2, f"median err {np.median(errs)}"
