@@ -325,7 +325,7 @@ class Backend:
         batch_rel = (batch_mid - t_knot0).astype(np.float32)
 
         idx = ys_p * self.cam_width + xs_p
-        bearings = self.lut[idx]
+        bearings = np.ascontiguousarray(self.lut[idx].T)  # (3, N) lane-major
 
         return {
             "bearings": jnp.asarray(bearings),

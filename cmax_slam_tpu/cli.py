@@ -50,6 +50,8 @@ def parse_args(argv=None):
     p.add_argument("--no-backend", action="store_true")
     p.add_argument("--checkpoint-every", type=float, default=0.0,
                    help="save a checkpoint every N seconds of stream time")
+    p.add_argument("--resume", default=None, metavar="STATE_NPZ",
+                   help="resume from a checkpoint written by a previous run")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="config override, dotted (e.g. frontend.dt_ang_vel=0.01)")
     return p.parse_args(argv)
@@ -62,7 +64,13 @@ def apply_overrides(cfg, overrides):
             parsed = json.loads(val)
         except json.JSONDecodeError:
             parsed = val
-        cfg = config_mod.replace(cfg, **{key: parsed})
+        try:
+            cfg = config_mod.replace(cfg, **{key: parsed})
+        except (TypeError, AttributeError) as e:
+            raise SystemExit(
+                f"unknown config key in --set {kv!r}: {e}\n"
+                f"see docs/parameters.md for the catalog"
+            ) from None
     return cfg
 
 
@@ -87,6 +95,9 @@ def main(argv=None) -> int:
           f"{ts[-1] - ts[0]:.2f}s", file=sys.stderr)
 
     slam = CMaxSLAM(calib, cfg, run_backend=not args.no_backend)
+    if args.resume:
+        slam.load_checkpoint(args.resume)
+        print(f"[cmax-slam-tpu] resumed from {args.resume}", file=sys.stderr)
 
     t_wall = time.perf_counter()
     next_ckpt = args.checkpoint_every

@@ -69,12 +69,19 @@ def _fwd_kernel(px_ref, py_ref, w_ref, out_ref, *, height, width, acc_dtype,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    # Column/row coordinate vectors, hoisted out of the event loop.
+    col_x = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1).astype(acc_dtype)
+    col_y = jax.lax.broadcasted_iota(jnp.int32, (1, height), 1).astype(acc_dtype)
+
     def row(r, acc):
         px, py, w = _sanitize(
             px_ref[r, :], py_ref[r, :], w_ref[r, :], height, width
         )
-        wx, _ = _hats(px, width, acc_dtype)
-        wy, _ = _hats(py, height, acc_dtype)
+        # Forward-only hat: max(0, 1 - |p - col|) — identical values to the
+        # floor parametrization at half the VPU ops (the one-sided derivative
+        # only matters in the VJP, which _bwd_kernel computes explicitly).
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(px.astype(acc_dtype)[:, None] - col_x))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(py.astype(acc_dtype)[:, None] - col_y))
         wy = wy * w.astype(acc_dtype)[:, None]
         return acc + jax.lax.dot_general(
             wy, wx, (((0,), (0,)), ((), ())),

@@ -108,17 +108,22 @@ def bilinear_accumulate_two(
     """Accumulate votes into two images selected per event (IL_old / IL_new).
 
     The back-end splits votes by event timestamp relative to the next window
-    start (event_pano_warper.cpp:296-311). Implemented as a single matmul with
-    a doubled row axis to keep one MXU pass.
+    start (event_pano_warper.cpp:296-311). One hat build feeds a single MXU
+    contraction with a doubled row axis: [Wy*w_old ; Wy*w_new]^T @ Wx.
     """
     sel = select_second.astype(jnp.float32)
-    img0 = bilinear_accumulate(
-        px, py, weights * (1.0 - sel), height=height, width=width, precision=precision
-    )
-    img1 = bilinear_accumulate(
-        px, py, weights * sel, height=height, width=width, precision=precision
-    )
-    return img0, img1
+    valid = inbounds_mask(px, py, height, width) & (weights != 0)
+    px = jnp.where(valid, px, -2.0)
+    py = jnp.where(valid, py, -2.0)
+    w = jnp.where(valid, weights, 0.0).astype(jnp.float32)
+
+    wx = _hat_matrix(px.astype(jnp.float32), width)
+    wy = _hat_matrix(py.astype(jnp.float32), height)
+    stacked = jnp.concatenate(
+        [wy * (w * (1.0 - sel))[:, None], wy * (w * sel)[:, None]], axis=1
+    )  # (N, 2H)
+    both = jnp.matmul(stacked.T, wx, precision=precision)  # (2H, W)
+    return both[:height], both[height:]
 
 
 def bilinear_sample(image: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:

@@ -39,7 +39,9 @@ from .scatter import bilinear_accumulate_two
 class PanoWindow(NamedTuple):
     """Fixed-shape device inputs for one back-end window.
 
-    bearings: (N, 3) per-event camera-frame rays.
+    bearings: (3, N) per-event camera-frame rays, component-major — arrays
+              with a minor dimension of 3 waste 128/3 of the TPU lane tile,
+              so rays are stored transposed and rotated by components.
     batch_times: (B,) spline-evaluation times, relative to the window's spline
                  origin (B = N / event_batch_size).
     weights: (N,) vote weights (0 = padding or decimated).
@@ -71,16 +73,33 @@ def warp_to_pano(
     pano: EquirectCamera,
     order: int,
 ):
-    """Warp all events through the (perturbed) trajectory; returns (px, py)."""
+    """Warp all events through the (perturbed) trajectory; returns (px, py).
+
+    Rotation is expanded by matrix components over (B, E) event blocks so the
+    TPU lane dimension stays wide (no minor-dim-3 tensors in the hot path)."""
     knots = spline.apply_masked_increments(win.knots, drotv, win.free_mask)
     q_batch = spline.evaluate(knots, win.batch_times, win.t0, win.dt_knots, order)
-    R_batch = lie.to_matrix(q_batch)  # (B, 3, 3)
+    R = lie.to_matrix(q_batch)  # (B, 3, 3)
 
     B = win.batch_times.shape[0]
-    bearings = win.bearings.reshape(B, -1, 3)
-    rays_w = jnp.einsum("bij,bej->bei", R_batch, bearings).reshape(-1, 3)
-    uv = pano.project(rays_w)
-    return uv[:, 0], uv[:, 1]
+    bx = win.bearings[0].reshape(B, -1)
+    by = win.bearings[1].reshape(B, -1)
+    bz = win.bearings[2].reshape(B, -1)
+
+    def comp(i):
+        return (
+            R[:, i, 0, None] * bx + R[:, i, 1, None] * by + R[:, i, 2, None] * bz
+        )
+
+    x, y, z = comp(0), comp(1), comp(2)
+    # Equirectangular projection, inlined on (B, E) blocks
+    # (phi = atan2(x, z), theta = asin(y / rho); equirectangular_camera.h:25-26)
+    rho = jnp.sqrt(x * x + y * y + z * z)
+    phi = jnp.arctan2(x, z)
+    theta = jnp.arcsin(jnp.clip(y / rho, -1.0, 1.0))
+    px = (pano.cx + phi * pano.fx).reshape(-1)
+    py = (pano.cy + theta * pano.fy).reshape(-1)
+    return px, py
 
 
 def pano_iwe(

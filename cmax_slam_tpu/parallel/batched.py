@@ -104,32 +104,50 @@ def track_batched(
     cfg: FrontendConfig,
     mesh: Optional[Mesh] = None,
     sweeps: int = 2,
+    chunk_size: int = 16,
 ):
     """Solve all packets' angular velocities in parallel.
 
     Returns (times (P,), omegas (P, 3) numpy). With a mesh, the packet axis
-    is sharded across devices (pure DP — no collectives in the hot loop)."""
+    is sharded across devices (pure DP — no collectives in the hot loop).
+
+    Packets are dispatched in chunks of ``chunk_size``: a vmapped while_loop
+    runs all lanes in lockstep until the SLOWEST lane converges, so one
+    stubborn packet in a huge batch would make every packet pay its
+    iteration count; chunking bounds that straggler blast radius while
+    async dispatch keeps the device busy across chunks.
+    """
     solve = batched_packet_solve(
         cam, cfg.warp.blur_sigma, cfg.contrast_measure, cfg.optim
     )
+    Pn = batch.bearings.shape[0]
     if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        if Pn % n_dev:
+            raise ValueError(f"packet count {Pn} not divisible by mesh size {n_dev}")
         shard = NamedSharding(mesh, P("data"))
         rep = NamedSharding(mesh, P())
         solve = jax.jit(solve, in_shardings=(shard, shard, shard, shard),
                         out_shardings=(rep, rep, rep))
-        Pn = batch.bearings.shape[0]
-        n_dev = mesh.devices.size
-        if Pn % n_dev:
-            raise ValueError(f"packet count {Pn} not divisible by mesh size {n_dev}")
+        chunk_size = max((chunk_size // n_dev) * n_dev, n_dev)
     else:
         solve = jax.jit(solve)
 
-    omegas = jnp.zeros((batch.bearings.shape[0], 3), jnp.float32)
+    omegas = jnp.zeros((Pn, 3), jnp.float32)
+    costs = jnp.zeros(Pn, jnp.float32)
+    iters = jnp.zeros(Pn, jnp.int32)
     for sweep in range(max(sweeps, 1)):
         if sweep > 0:
             # Jacobi warm start: neighbor's previous solution.
             omegas = jnp.concatenate([omegas[:1], omegas[:-1]], axis=0)
-        omegas, costs, iters = solve(
-            batch.bearings, batch.dts, batch.weights, omegas
-        )
+        outs = []
+        for lo in range(0, Pn, chunk_size):
+            hi = min(lo + chunk_size, Pn)
+            outs.append(solve(
+                batch.bearings[lo:hi], batch.dts[lo:hi],
+                batch.weights[lo:hi], omegas[lo:hi],
+            ))
+        omegas = jnp.concatenate([o[0] for o in outs], axis=0)
+        costs = jnp.concatenate([o[1] for o in outs], axis=0)
+        iters = jnp.concatenate([o[2] for o in outs], axis=0)
     return batch.times, np.asarray(omegas), np.asarray(costs), np.asarray(iters)

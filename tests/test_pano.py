@@ -69,7 +69,7 @@ def _make_window(rng, n_events=4096, K=5, Hp=128, Wp=256, batch=128,
         rng, n_events, duration, omega, FX, FY, CX, CY, W, H, n_points=200
     )
     lut = synthetic.identity_lut(W, H, FX, FY, CX, CY)
-    bearings = lut[ev.ys * W + ev.xs]
+    bearings = np.ascontiguousarray(lut[ev.ys * W + ev.xs].T)  # (3, N)
 
     dt_knots = duration / (K - 1)
     knot_times = np.arange(K) * dt_knots
