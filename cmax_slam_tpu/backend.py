@@ -360,10 +360,10 @@ class Backend:
             # First evaluation of the window computes alpha from the initial
             # trajectory's IL (setFirstIter/updateAlpha semantics,
             # event_pano_warper.cpp:201-213).
-            il_old0, il_new0, _ = warp_pano.pano_iwe(
+            il0, _ = warp_pano.pano_objective_image(
                 jnp.zeros((K, 3), jnp.float32), win0, pano, order, blur_sigma
             )
-            alpha = warp_pano.compute_alpha(il_old0 + il_new0, ig_prime)
+            alpha = warp_pano.compute_alpha(il0, ig_prime)
             win = win0._replace(alpha=alpha)
 
             f, vg = warp_pano.make_pano_objective(
@@ -381,10 +381,9 @@ class Backend:
             drotv = res.x.reshape(K, 3)
             knots_new = spline.apply_masked_increments(knots, drotv, free_mask)
             # IL at the optimum feeds the global-map update (updateIG uses the
-            # last evaluation's IL_old, pose_graph_optimizer.cpp:303).
-            il_old, il_new, image = warp_pano.pano_iwe(
-                drotv, win, pano, order, blur_sigma
-            )
+            # last evaluation's IL_old, pose_graph_optimizer.cpp:303); the
+            # old/new split runs once here, outside the optimization loop.
+            il_old, il_new = warp_pano.pano_il_split(drotv, win, pano, order)
             return knots_new, il_old, res.fun, res.iters, alpha
 
         self._solver_cache[key] = solve

@@ -70,9 +70,21 @@ class Frontend:
         self._t_packet: float = 0.0  # time_packet_
         self._next_check_abs = 0  # next absolute event index to scan for triggers
         self._pending: List[Tuple[int, int]] = []  # subset (beg, end) abs indices
-        self.omega = np.zeros(3)  # warm start (ang_vel_)
+        self._omega_dev = jnp.zeros(3, jnp.float32)  # warm start (ang_vel_)
         self.estimates: List[AngVelEstimate] = []
+        # 1-deep solve pipeline: the estimate whose device arrays are still
+        # in flight (dispatching packet k overlaps packet k-1's solve).
+        self._inflight: Optional[AngVelEstimate] = None
         self._solve = self._build_solver()
+
+    @property
+    def omega(self) -> np.ndarray:
+        """Current warm-start angular velocity (syncs the device)."""
+        return np.asarray(self._omega_dev, np.float64)
+
+    @omega.setter
+    def omega(self, value) -> None:
+        self._omega_dev = jnp.asarray(value, jnp.float32)
 
     # ------------------------------------------------------------------
     def _build_solver(self) -> Callable:
@@ -158,11 +170,27 @@ class Frontend:
             candidates.append(self._pending[0][0])
         return min(candidates)
 
+    def _finalize(self, est: "AngVelEstimate") -> "AngVelEstimate":
+        """Materialize a pipelined estimate's device results on host."""
+        if est is not None and not isinstance(est.omega, np.ndarray):
+            est.omega = np.asarray(est.omega, np.float64)
+            est.cost = float(est.cost)
+            est.iters = int(est.iters)
+        return est
+
     def _process_ready_packets(self) -> List[AngVelEstimate]:
         out = []
         while self._pending and self.store.total > self._pending[0][1]:
             beg, end = self._pending.pop(0)
-            out.append(self._process_packet(beg, end))
+            est = self._process_packet(beg, end)
+            # finalize the previous in-flight solve; its device work
+            # overlapped this packet's host prep + dispatch
+            if self._inflight is not None:
+                out.append(self._finalize(self._inflight))
+            self._inflight = est
+        if self._inflight is not None:
+            out.append(self._finalize(self._inflight))
+            self._inflight = None
         return out
 
     def _process_packet(self, beg: int, end: int) -> AngVelEstimate:
@@ -175,8 +203,8 @@ class Frontend:
         timespan = float(ts[-1] - ts[0]) if n else 0.0
         if timespan > 10.0 * cfg.dt_ang_vel or n < 2:
             # Degenerate packet guard (ang_vel_estimator.cpp:108-114)
-            self.omega = np.zeros(3)
-            est = AngVelEstimate(t=t_packet, omega=self.omega.copy(), cost=0.0,
+            self._omega_dev = jnp.zeros(3, jnp.float32)
+            est = AngVelEstimate(t=t_packet, omega=np.zeros(3), cost=0.0,
                                  iters=0, num_events=n)
             self.estimates.append(est)
             return est
@@ -196,17 +224,17 @@ class Frontend:
                 cfg.warp.event_batch_size,
                 np.float32(t_packet - self._t0),
             )
+            # Asynchronous dispatch: the warm start is handed over as a
+            # device array, so back-to-back packet solves chain on device
+            # with no host round trip in between.
             omega, cost, iters = self._solve(
-                packet.bearings, packet.dts, packet.weights,
-                jnp.asarray(self.omega, jnp.float32),
+                packet.bearings, packet.dts, packet.weights, self._omega_dev
             )
-            omega = np.asarray(omega, np.float64)
 
-        self.omega = omega
+        self._omega_dev = omega
         self.metrics.count("frontend.events", n)
         est = AngVelEstimate(
-            t=t_packet, omega=omega.copy(), cost=float(cost),
-            iters=int(iters), num_events=n,
+            t=t_packet, omega=omega, cost=cost, iters=iters, num_events=n,
         )
         self.estimates.append(est)
         return est

@@ -25,12 +25,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Event block layout per grid step: ROWS x LANE events (TPU tiling wants the
+# Event block layout per grid step: ROWS x lane events (TPU tiling wants the
 # second-to-last dim divisible by 8 and the last by 128). Rows are processed
 # with a fori_loop so hat-matrix buffers are reused, keeping VMEM bounded.
+# The lane width is a tuning knob: wide lanes amortize loop overhead (local
+# IWEs), narrow lanes keep big-pano accumulators + hats inside VMEM.
 ROWS = 8
-LANE = 1024
-BLOCK = ROWS * LANE
+LANE = 1024  # default lane width
 
 
 def _hats(coords, size, dtype, with_deriv=False):
@@ -128,20 +129,21 @@ def _bwd_kernel(px_ref, py_ref, w_ref, g_ref, dpx_ref, dpy_ref, dw_ref,
     jax.lax.fori_loop(0, ROWS, row, 0)
 
 
-def _pad_blocks(px, py, weights):
+def _pad_blocks(px, py, weights, lane):
     n = px.shape[0]
-    pad = (-n) % BLOCK
+    block = ROWS * lane
+    pad = (-n) % block
     if pad:
         px = jnp.pad(px, (0, pad))
         py = jnp.pad(py, (0, pad))
         weights = jnp.pad(weights, (0, pad))
-    blocks = px.shape[0] // BLOCK
-    shape = (blocks * ROWS, LANE)
+    blocks = px.shape[0] // block
+    shape = (blocks * ROWS, lane)
     return px.reshape(shape), py.reshape(shape), weights.reshape(shape), blocks, n
 
 
-def _ev_spec():
-    return pl.BlockSpec((ROWS, LANE), lambda k: (k, 0), memory_space=pltpu.VMEM)
+def _ev_spec(lane):
+    return pl.BlockSpec((ROWS, lane), lambda k: (k, 0), memory_space=pltpu.VMEM)
 
 
 def _resolve(precision: str):
@@ -152,18 +154,20 @@ def _resolve(precision: str):
     return jnp.float32, jax.lax.Precision.DEFAULT
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def bilinear_accumulate_pallas(
-    px, py, weights, height: int, width: int, precision: str = "highest"
+    px, py, weights, height: int, width: int, precision: str = "highest",
+    lane: int = LANE,
 ):
     """Drop-in Pallas replacement for scatter.bilinear_accumulate."""
-    return _fwd_impl(px, py, weights, height, width, precision)
+    return _fwd_impl(px, py, weights, height, width, precision, lane)
 
 
-def _fwd_impl(px, py, weights, height, width, precision):
+def _fwd_impl(px, py, weights, height, width, precision, lane):
     acc_dtype, mxu = _resolve(precision)
     px2, py2, w2, blocks, _ = _pad_blocks(
-        px.astype(jnp.float32), py.astype(jnp.float32), weights.astype(jnp.float32)
+        px.astype(jnp.float32), py.astype(jnp.float32),
+        weights.astype(jnp.float32), lane,
     )
     kernel = functools.partial(
         _fwd_kernel, height=height, width=width, acc_dtype=acc_dtype,
@@ -173,7 +177,7 @@ def _fwd_impl(px, py, weights, height, width, precision):
         kernel,
         grid=(blocks,),
         interpret=jax.default_backend() != "tpu",
-        in_specs=[_ev_spec(), _ev_spec(), _ev_spec()],
+        in_specs=[_ev_spec(lane), _ev_spec(lane), _ev_spec(lane)],
         out_specs=pl.BlockSpec(
             (height, width), lambda k: (0, 0), memory_space=pltpu.VMEM
         ),
@@ -181,17 +185,18 @@ def _fwd_impl(px, py, weights, height, width, precision):
     )(px2, py2, w2)
 
 
-def _vjp_fwd(px, py, weights, height, width, precision):
-    out = _fwd_impl(px, py, weights, height, width, precision)
+def _vjp_fwd(px, py, weights, height, width, precision, lane):
+    out = _fwd_impl(px, py, weights, height, width, precision, lane)
     return out, (px, py, weights)
 
 
-def _vjp_bwd(height, width, precision, res, g):
+def _vjp_bwd(height, width, precision, lane, res, g):
     px, py, weights = res
     n = px.shape[0]
     acc_dtype, mxu = _resolve(precision)
     px2, py2, w2, blocks, _ = _pad_blocks(
-        px.astype(jnp.float32), py.astype(jnp.float32), weights.astype(jnp.float32)
+        px.astype(jnp.float32), py.astype(jnp.float32),
+        weights.astype(jnp.float32), lane,
     )
     kernel = functools.partial(
         _bwd_kernel, height=height, width=width, acc_dtype=acc_dtype,
@@ -203,12 +208,12 @@ def _vjp_bwd(height, width, precision, res, g):
         kernel,
         grid=(blocks,),
         interpret=jax.default_backend() != "tpu",
-        in_specs=[_ev_spec(), _ev_spec(), _ev_spec(), img_spec],
-        out_specs=[_ev_spec(), _ev_spec(), _ev_spec()],
+        in_specs=[_ev_spec(lane), _ev_spec(lane), _ev_spec(lane), img_spec],
+        out_specs=[_ev_spec(lane), _ev_spec(lane), _ev_spec(lane)],
         out_shape=[
-            jax.ShapeDtypeStruct((blocks * ROWS, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((blocks * ROWS, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((blocks * ROWS, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((blocks * ROWS, lane), jnp.float32),
+            jax.ShapeDtypeStruct((blocks * ROWS, lane), jnp.float32),
+            jax.ShapeDtypeStruct((blocks * ROWS, lane), jnp.float32),
         ],
     )(px2, py2, w2, g.astype(jnp.float32))
     return (
@@ -221,8 +226,18 @@ def _vjp_bwd(height, width, precision, res, g):
 bilinear_accumulate_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def vmem_fits(height: int, width: int, budget_bytes: int = 6 * 1024 * 1024) -> bool:
+def vmem_fits(height: int, width: int, lane: int = LANE,
+              budget_bytes: int = 8 * 1024 * 1024) -> bool:
     """Whether the accumulator (+ hat blocks) fits comfortably in VMEM."""
     acc = height * ((width + 127) // 128 * 128) * 4
-    hats = LANE * (height + width) * 4 * 2
+    hats = lane * (height + width) * 4 * 2
     return acc + hats < budget_bytes
+
+
+def pick_lane(height: int, width: int) -> int:
+    """Widest lane (of 1024/512/256/128) that keeps the kernel in VMEM;
+    0 when even 128 lanes do not fit (caller should use the XLA path)."""
+    for lane in (1024, 512, 256, 128):
+        if vmem_fits(height, width, lane):
+            return lane
+    return 0

@@ -102,6 +102,60 @@ def warp_to_pano(
     return px, py
 
 
+def _accumulate_total(px, py, weights, pano: EquirectCamera, precision: str):
+    """Single total-IL accumulation, fused Pallas kernel when it fits VMEM."""
+    from .pallas_iwe import bilinear_accumulate_pallas, pick_lane
+
+    lane = pick_lane(pano.height, pano.width)
+    if jax.default_backend() == "tpu" and lane > 0:
+        return bilinear_accumulate_pallas(
+            px, py, weights, pano.height, pano.width, precision, lane
+        )
+    from .scatter import bilinear_accumulate
+
+    return bilinear_accumulate(
+        px, py, weights, height=pano.height, width=pano.width,
+        precision=precision,
+    )
+
+
+def pano_objective_image(
+    drotv: jnp.ndarray,
+    win: PanoWindow,
+    pano: EquirectCamera,
+    order: int,
+    blur_sigma: float,
+    precision: str = "highest",
+):
+    """The blended+blurred optimization image I = IL + alpha*IG', blur.
+
+    Mirrors EventWarper::computeImageOfWarpedEvents
+    (event_pano_warper.cpp:167-231) for the *objective*: the contrast only
+    ever sees IL_old + IL_new summed, so the hot path accumulates the total
+    with one (Pallas) pass; the old/new split is produced separately, once,
+    at the optimum (pano_il_split)."""
+    px, py = warp_to_pano(drotv, win, pano, order)
+    il = _accumulate_total(px, py, win.weights, pano, precision)
+    image = il + win.alpha * win.ig_prime
+    return il, gaussian_blur(image, blur_sigma, precision=precision)
+
+
+def pano_il_split(
+    drotv: jnp.ndarray,
+    win: PanoWindow,
+    pano: EquirectCamera,
+    order: int,
+    precision: str = "highest",
+):
+    """IL_old / IL_new at a given trajectory (forward-only; feeds updateIG,
+    event_pano_warper.cpp:296-311)."""
+    px, py = warp_to_pano(drotv, win, pano, order)
+    return bilinear_accumulate_two(
+        px, py, win.weights, ~win.is_old,
+        height=pano.height, width=pano.width, precision=precision,
+    )
+
+
 def pano_iwe(
     drotv: jnp.ndarray,
     win: PanoWindow,
@@ -110,18 +164,9 @@ def pano_iwe(
     blur_sigma: float,
     precision: str = "highest",
 ):
-    """IL_old, IL_new, and the blended+blurred optimization image I.
-
-    Mirrors EventWarper::computeImageOfWarpedEvents
-    (event_pano_warper.cpp:167-231): I = (IL_old + IL_new) + alpha*IG',
-    then Gaussian blur."""
-    px, py = warp_to_pano(drotv, win, pano, order)
-    il_old, il_new = bilinear_accumulate_two(
-        px, py, win.weights, ~win.is_old,
-        height=pano.height, width=pano.width, precision=precision,
-    )
-    il = il_old + il_new
-    image = il + win.alpha * win.ig_prime
+    """IL_old, IL_new, and the blended+blurred optimization image I."""
+    il_old, il_new = pano_il_split(drotv, win, pano, order, precision)
+    image = il_old + il_new + win.alpha * win.ig_prime
     image = gaussian_blur(image, blur_sigma, precision=precision)
     return il_old, il_new, image
 
@@ -143,7 +188,9 @@ def make_pano_objective(
 
     def f(flat_drotv):
         drotv = flat_drotv.reshape(K, 3)
-        _, _, image = pano_iwe(drotv, win, pano, order, blur_sigma, precision)
+        _, image = pano_objective_image(
+            drotv, win, pano, order, blur_sigma, precision
+        )
         return -contrast(image, measure)
 
     return f, jax.value_and_grad(f)

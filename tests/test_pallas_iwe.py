@@ -7,7 +7,9 @@ import jax
 import jax.numpy as jnp
 
 from cmax_slam_tpu.ops import scatter
-from cmax_slam_tpu.ops.pallas_iwe import BLOCK, bilinear_accumulate_pallas
+from cmax_slam_tpu.ops.pallas_iwe import LANE, ROWS, bilinear_accumulate_pallas
+
+BLOCK = ROWS * LANE
 
 
 def test_pallas_forward_matches_xla(rng):

@@ -140,3 +140,12 @@ def test_sobel_matches_opencv_convention(rng):
     ref = (gx_ref**2 + gy_ref**2).mean()
     out = float(contrast.gradient_magnitude(jnp.asarray(img)))
     np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_gaussian_blur_conv_path_matches_matmul(rng):
+    """Large images dispatch to the separable conv; values must match the
+    banded-matmul path exactly (same kernel, same reflect-101 border)."""
+    img = rng.normal(size=(1100, 2048)).astype(np.float32)  # > 1<<21 px
+    out_conv = blur.gaussian_blur(jnp.asarray(img), 1.0)
+    ref = numpy_gaussian_blur(img.astype(np.float64), 1.0)
+    np.testing.assert_allclose(np.asarray(out_conv), ref, atol=1e-4)
