@@ -52,6 +52,9 @@ def parse_args(argv=None):
                    help="save a checkpoint every N seconds of stream time")
     p.add_argument("--resume", default=None, metavar="STATE_NPZ",
                    help="resume from a checkpoint written by a previous run")
+    p.add_argument("--save-maps-every", type=int, default=0, metavar="K",
+                   help="dump pano_map_NNNN.png every K back-end windows "
+                        "(the reference's continuous /pano_map publishing)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="config override, dotted (e.g. frontend.dt_ang_vel=0.01)")
     return p.parse_args(argv)
@@ -101,6 +104,7 @@ def main(argv=None) -> int:
 
     t_wall = time.perf_counter()
     next_ckpt = args.checkpoint_every
+    maps_done = 0
     for chunk in stream_chunks(xs, ys, ts, ps, args.chunk_size):
         slam.push_events(*chunk)
         if args.checkpoint_every > 0 and len(chunk[2]) and (
@@ -108,6 +112,15 @@ def main(argv=None) -> int:
         ):
             slam.save_checkpoint(os.path.join(args.out_dir, "checkpoint.npz"))
             next_ckpt += args.checkpoint_every
+        if (
+            args.save_maps_every > 0 and slam.backend is not None
+            and len(slam.backend.results) >= maps_done + args.save_maps_every
+        ):
+            maps_done = len(slam.backend.results)
+            write_png(
+                os.path.join(args.out_dir, f"pano_map_{maps_done:04d}.png"),
+                slam.backend.render_map(),
+            )
     wall = time.perf_counter() - t_wall
 
     # --- outputs ---
