@@ -11,7 +11,6 @@ Baseline target: 100e6 events/s/chip (BASELINE.md north star).
 """
 
 import json
-import sys
 import time
 
 import numpy as np

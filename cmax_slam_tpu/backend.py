@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import lie, spline
+from . import spline
 from .calib import EquirectCamera
 from .config import BackendConfig
 from .io.events import EventStore

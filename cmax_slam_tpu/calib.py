@@ -15,7 +15,7 @@ autodiff and cross-checked in tests).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp

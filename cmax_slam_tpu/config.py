@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional
 
 # Contrast measures (reference: include/frontend/local_focus_funcs.h:7-11)
 VARIANCE_CONTRAST = 0

@@ -19,8 +19,7 @@ Packet semantics mirror the reference exactly (ang_vel_estimator.cpp:68-135):
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np

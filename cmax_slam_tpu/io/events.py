@@ -10,7 +10,6 @@ packets are cut from this store.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
 from typing import Iterator, Optional, Tuple
 
 import numpy as np

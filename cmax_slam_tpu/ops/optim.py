@@ -19,7 +19,6 @@ Matches the reference's optimizer semantics:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax

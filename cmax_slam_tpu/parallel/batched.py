@@ -16,7 +16,6 @@ keeping every solve independent.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import numpy as np

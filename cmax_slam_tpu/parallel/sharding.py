@@ -12,12 +12,9 @@ gather, so scaling is linear by construction.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import OptimOptions
@@ -37,15 +34,21 @@ def batched_packet_solve(
     blur_sigma: float = 1.0,
     measure: int = 0,
     opt: OptimOptions = OptimOptions(),
+    impl: str = "xla",
 ):
     """Returns f(batched packet arrays, omega0s) -> (omegas, costs, iters):
-    a vmapped whole-solve CMax step, the unit of data parallelism."""
+    a vmapped whole-solve CMax step, the unit of data parallelism.
+
+    Defaults to the XLA vote path: its batched matmuls vmap into bigger,
+    MXU-friendlier contractions, while vmapping the VMEM-resident Pallas
+    kernel multiplies its scratch footprint past the v5e VMEM budget."""
 
     def solve_one(bearings, dts, weights, omega0):
         packet = warp_local.EventPacket(bearings, dts, weights)
 
         def f(omega):
-            iwe = warp_local.local_iwe(omega, packet, cam, blur_sigma)
+            iwe = warp_local.local_iwe(omega, packet, cam, blur_sigma,
+                                       impl=impl)
             return -contrast(iwe, measure)
 
         res = optim.minimize_fr_cg(
