@@ -12,6 +12,14 @@ with Jacobi-style sweeps: pass 1 solves all packets from zero, pass 2
 re-solves each packet initialized from its left neighbor's pass-1 solution.
 Two parallel sweeps recover nearly all of the sequential accuracy while
 keeping every solve independent.
+
+Measured trade-off (v5e, 122 x 16k-event packets): vmapped solves run the
+CG while_loop in LOCKSTEP — every lane pays the slowest lane's iteration
+count — and cold starts need ~10x the iterations of warm starts, so on a
+SINGLE chip the pipelined sequential front-end (frontend.py, ~36 ms/packet
+warm) is faster end-to-end. Use this module when scaling ACROSS chips
+(each chip takes a contiguous packet range) or when per-packet latency is
+irrelevant and simplicity wins.
 """
 
 from __future__ import annotations
