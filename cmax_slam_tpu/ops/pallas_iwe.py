@@ -194,6 +194,9 @@ def _vjp_bwd(height, width, precision, lane, res, g):
     px, py, weights = res
     n = px.shape[0]
     acc_dtype, mxu = _resolve(precision)
+    # The backward kernel keeps ~2.5x the forward's VMEM live (hats + their
+    # derivatives + two contraction results), so it runs at a narrower lane.
+    lane = min(lane, 1024)
     px2, py2, w2, blocks, _ = _pad_blocks(
         px.astype(jnp.float32), py.astype(jnp.float32),
         weights.astype(jnp.float32), lane,
