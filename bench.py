@@ -11,6 +11,7 @@ Baseline target: 100e6 events/s/chip (BASELINE.md north star).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -19,6 +20,12 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+
+    # Persistent compile cache: repeated driver runs skip the (slow,
+    # tunnel-mediated) XLA compile.
+    os.makedirs("/tmp/jax_cache_bench", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from cmax_slam_tpu.io import synthetic
     from cmax_slam_tpu.ops import warp_local
