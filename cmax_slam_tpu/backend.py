@@ -38,7 +38,7 @@ from .config import BackendConfig
 from .io.events import EventStore
 from .ops import optim, warp_pano
 from .ops.warp_pano import PanoWindow
-from .utils.metrics import Metrics
+from .utils.metrics import Metrics, logger
 
 
 def _np_exp(v):
@@ -275,6 +275,10 @@ class Backend:
             iters=iters,
         )
         self.results.append(res)
+        logger.info(
+            "[back-end] window %d [%.3f, %.3f) n=%d ba=%s cost=%.5f iters=%d",
+            res.index, res.t_beg, res.t_end, n_raw, ran_ba, final_cost, iters,
+        )
         return res
 
     # ------------------------------------------------------------------

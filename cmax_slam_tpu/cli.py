@@ -55,6 +55,8 @@ def parse_args(argv=None):
     p.add_argument("--save-maps-every", type=int, default=0, metavar="K",
                    help="dump pano_map_NNNN.png every K back-end windows "
                         "(the reference's continuous /pano_map publishing)")
+    p.add_argument("-v", "--verbose", type=int, default=0, metavar="N",
+                   help="glog-style verbosity: 0=warn, 1=info, 2=debug")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="config override, dotted (e.g. frontend.dt_ang_vel=0.01)")
     return p.parse_args(argv)
@@ -87,6 +89,9 @@ def load_calibration(args) -> CameraCalibration:
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    from .utils.metrics import configure_logging
+
+    configure_logging(args.verbose)
     os.makedirs(args.out_dir, exist_ok=True)
 
     calib = load_calibration(args)

@@ -30,7 +30,7 @@ from .config import FrontendConfig
 from .io.events import EventStore
 from .ops import optim, warp_local
 from .ops.contrast import contrast
-from .utils.metrics import Metrics
+from .utils.metrics import Metrics, logger
 
 
 @dataclass
@@ -236,6 +236,7 @@ class Frontend:
             t=t_packet, omega=omega, cost=cost, iters=iters, num_events=n,
         )
         self.estimates.append(est)
+        logger.debug("[front-end] packet t=%.4f n=%d dispatched", t_packet, n)
         return est
 
     # ------------------------------------------------------------------

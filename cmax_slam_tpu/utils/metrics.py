@@ -19,6 +19,23 @@ from typing import Dict
 logger = logging.getLogger("cmax_slam_tpu")
 
 
+def configure_logging(verbosity: int = 0) -> None:
+    """glog-style verbosity (the reference runs with --v N, src/node.cpp:11):
+    0 = warnings, 1 = info (packets/windows), 2+ = debug (solver detail)."""
+    level = (
+        logging.WARNING if verbosity <= 0
+        else logging.INFO if verbosity == 1
+        else logging.DEBUG
+    )
+    handler = logging.StreamHandler()
+    handler.setFormatter(
+        logging.Formatter("%(asctime)s %(name)s %(levelname).1s %(message)s",
+                          datefmt="%H:%M:%S")
+    )
+    logger.handlers[:] = [handler]
+    logger.setLevel(level)
+
+
 @dataclass
 class TimerStat:
     count: int = 0
