@@ -13,3 +13,21 @@ hand-coded Jacobians, and whole-optimizer jit compilation.
 from . import calib, config, lie
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (avoid importing the full device stack on
+    # `import cmax_slam_tpu`).
+    if name == "CMaxSLAM":
+        from .system import CMaxSLAM
+
+        return CMaxSLAM
+    if name == "Frontend":
+        from .frontend import Frontend
+
+        return Frontend
+    if name == "Backend":
+        from .backend import Backend
+
+        return Backend
+    raise AttributeError(name)

@@ -134,6 +134,15 @@ def main(argv=None) -> int:
         os.path.join(args.out_dir, "angular_velocity.txt"), av,
         header="t wx wy wz  (rad/s)",
     )
+    # deg/s copy for direct parity with the reference's /dvs/angular_velocity
+    # topic (TwistStamped in deg/s, ang_vel_estimator.cpp:191-201)
+    av_deg = av.copy()
+    if len(av_deg):
+        av_deg[:, 1:] = np.degrees(av_deg[:, 1:])
+    np.savetxt(
+        os.path.join(args.out_dir, "angular_velocity_deg.txt"), av_deg,
+        header="t wx wy wz  (deg/s)",
+    )
     if slam.backend is not None and slam.backend.traj is not None:
         from .utils.evaluate import write_tum_trajectory
 
