@@ -78,6 +78,10 @@ class FrontendConfig:
     warp: WarpOptions = field(default_factory=WarpOptions)
     optim: OptimOptions = field(default_factory=OptimOptions)
     show_iwe: bool = False
+    # Coarse-to-fine CMax (no reference counterpart): first solve on a
+    # 3x-blurred IWE (wider basin of attraction for fast motion from cold
+    # starts), then refine at blur_sigma. Costs ~2x per solve; off by default.
+    coarse_to_fine: bool = False
 
 
 @dataclass(frozen=True)

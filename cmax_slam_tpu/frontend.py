@@ -97,23 +97,34 @@ class Frontend:
         def solve(bearings, dts, weights, omega0):
             packet = warp_local.EventPacket(bearings, dts, weights)
 
-            def f(omega):
-                iwe = warp_local.local_iwe(omega, packet, cam, blur_sigma)
-                return -contrast(iwe, measure)
+            def make_f(sigma):
+                def f(omega):
+                    iwe = warp_local.local_iwe(omega, packet, cam, sigma)
+                    return -contrast(iwe, measure)
+                return f
 
-            vg = jax.value_and_grad(f)
-            res = optim.minimize_fr_cg(
-                vg,
-                omega0,
-                f_fn=f,
-                max_line_searches=o.max_line_searches,
-                initial_step=o.initial_step,
-                line_search_tol=o.line_search_tol,
-                grad_tol=o.grad_tol,
-                fun_tol=o.fun_tol,
-                max_fevals_per_linesearch=o.max_fevals_per_linesearch,
-            )
-            return res.x, res.fun, res.iters
+            def minimize(f, x0, max_ls):
+                return optim.minimize_fr_cg(
+                    jax.value_and_grad(f), x0, f_fn=f,
+                    max_line_searches=max_ls,
+                    initial_step=o.initial_step,
+                    line_search_tol=o.line_search_tol,
+                    grad_tol=o.grad_tol,
+                    fun_tol=o.fun_tol,
+                    max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+                )
+
+            x0 = omega0
+            iters_coarse = 0
+            if cfg.coarse_to_fine:
+                coarse = minimize(
+                    make_f(max(blur_sigma, 1.0) * 3.0), x0,
+                    o.max_line_searches // 2,
+                )
+                x0 = coarse.x
+                iters_coarse = coarse.iters
+            res = minimize(make_f(blur_sigma), x0, o.max_line_searches)
+            return res.x, res.fun, res.iters + iters_coarse
 
         return solve
 

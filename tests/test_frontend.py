@@ -80,3 +80,25 @@ def test_tracking_constant_rotation(rng):
     # timestamps are on the rigid grid
     t_grid = np.array([e.t for e in fe.estimates])
     np.testing.assert_allclose(np.diff(t_grid), cfg.dt_ang_vel, atol=1e-9)
+
+
+def test_coarse_to_fine_cold_start_fast_motion(rng):
+    """Very fast rotation (|omega| ~ 5.7 rad/s) from a cold start: the
+    3x-blurred coarse stage widens the basin of attraction (capability beyond
+    the reference, config.FrontendConfig.coarse_to_fine)."""
+    omega_true = np.array([2.0, -3.5, 4.0])
+    n = 30000
+    ev = synthetic.rotating_camera_events(
+        rng, n, 0.12, omega_true, FX, FY, CX, CY, W, H, n_points=300
+    )
+    cfg = FrontendConfig(
+        num_events_per_packet=8000, dt_ang_vel=0.02,
+        warp=WarpOptions(blur_sigma=1.0, event_batch_size=100),
+        coarse_to_fine=True,
+    )
+    fe = Frontend(CAM, LUT, cfg)
+    fe.push_events(ev.xs, ev.ys, ev.ts, ev.pols)
+    assert len(fe.estimates) >= 3
+    errs = [np.linalg.norm(e.omega - omega_true) for e in fe.estimates]
+    # cold-start first packet included: all packets should lock on
+    assert np.median(errs) < 0.25, f"errs={np.round(errs, 3)}"
