@@ -31,6 +31,8 @@ PRESETS = {
     "default": lambda: config_mod.SystemConfig(),
     "ijrr": config_mod.ijrr_config,
     "ecrot_synth": config_mod.ecrot_synth_config,
+    "ecrot_handheld": config_mod.ecrot_real_config,
+    "ecrot_mount": config_mod.ecrot_mount_config,
     "live_davis": config_mod.live_davis_config,
 }
 

@@ -155,6 +155,34 @@ def ecrot_synth_config() -> SystemConfig:
     )
 
 
+def ecrot_real_config(y_angle_deg: float = 0.0) -> SystemConfig:
+    """Preset mirroring /root/reference/launch/ecrot_handheld.launch (use
+    y_angle_deg=-90 for ecrot_mount.launch — the only difference): 200k-event
+    packets, non-overlapping 0.2s windows, 2048-high panorama."""
+    return SystemConfig(
+        frontend=FrontendConfig(
+            num_events_per_packet=200000,
+            dt_ang_vel=0.01,
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100, event_sample_rate=1),
+        ),
+        backend=BackendConfig(
+            sliding_window=SlidingWindowOptions(0.2, 0.2),
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100, event_sample_rate=1),
+            trajectory=TrajectoryOptions(dt_knots=0.05, spline_degree=1),
+            pano_map=PanoMapOptions(
+                pano_height=2048, pano_width=4096, max_update_times=200,
+                backend_min_ev_rate=10000, y_angle_deg=y_angle_deg,
+            ),
+            max_events_per_window=1 << 20,
+        ),
+    )
+
+
+def ecrot_mount_config() -> SystemConfig:
+    """Preset mirroring /root/reference/launch/ecrot_mount.launch."""
+    return ecrot_real_config(y_angle_deg=-90.0)
+
+
 def live_davis_config() -> SystemConfig:
     """Preset mirroring /root/reference/launch/live_davis.launch (load-shedding)."""
     return SystemConfig(
