@@ -58,6 +58,11 @@ def _hat_matrix(coords: jnp.ndarray, size: int) -> jnp.ndarray:
     return (1.0 - frac)[:, None] * is0 + frac[:, None] * is1
 
 
+# Cap on the transient hat-matrix footprint: chunk the event axis when
+# N * (H + W) * 4 bytes would exceed this (big panoramas x big windows).
+_HAT_BYTES_BUDGET = 256 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "precision")
 )
@@ -79,15 +84,44 @@ def bilinear_accumulate(
 
     Returns:
       (height, width) float32 image of accumulated votes.
+
+    Large problems (hat matrices past _HAT_BYTES_BUDGET) are processed as a
+    scan over event chunks so HBM holds one chunk's hats at a time.
     """
     valid = inbounds_mask(px, py, height, width) & (weights != 0)
     # Sanitize so padded/out-of-range coords can't produce NaN via 0*inf.
-    px = jnp.where(valid, px, -2.0)
-    py = jnp.where(valid, py, -2.0)
+    px = jnp.where(valid, px, -2.0).astype(jnp.float32)
+    py = jnp.where(valid, py, -2.0).astype(jnp.float32)
     w = jnp.where(valid, weights, 0.0).astype(jnp.float32)
 
-    wx = _hat_matrix(px.astype(jnp.float32), width)
-    wy = _hat_matrix(py.astype(jnp.float32), height)
+    n = px.shape[0]
+    per_event = (height + width) * 4
+    if n * per_event <= _HAT_BYTES_BUDGET:
+        return _accumulate_dense(px, py, w, height, width, precision)
+
+    chunk = max(_HAT_BYTES_BUDGET // per_event // 1024 * 1024, 1024)
+    pad = (-n) % chunk
+    if pad:
+        px = jnp.pad(px, (0, pad), constant_values=-2.0)
+        py = jnp.pad(py, (0, pad), constant_values=-2.0)
+        w = jnp.pad(w, (0, pad))
+    shape = (-1, chunk)
+
+    def step(acc, args):
+        cpx, cpy, cw = args
+        return acc + _accumulate_dense(cpx, cpy, cw, height, width, precision), None
+
+    out, _ = jax.lax.scan(
+        step,
+        jnp.zeros((height, width), jnp.float32),
+        (px.reshape(shape), py.reshape(shape), w.reshape(shape)),
+    )
+    return out
+
+
+def _accumulate_dense(px, py, w, height, width, precision):
+    wx = _hat_matrix(px, width)
+    wy = _hat_matrix(py, height)
     wy = wy * w[:, None]
     return jnp.matmul(wy.T, wx, precision=precision)
 
@@ -112,6 +146,20 @@ def bilinear_accumulate_two(
     contraction with a doubled row axis: [Wy*w_old ; Wy*w_new]^T @ Wx.
     """
     sel = select_second.astype(jnp.float32)
+    n = px.shape[0]
+    if n * (2 * height + width) * 4 > _HAT_BYTES_BUDGET:
+        # Chunk-safe path for big panoramas/windows (off the hot loop: the
+        # split runs once per window, backend.py).
+        img0 = bilinear_accumulate(
+            px, py, weights * (1.0 - sel), height=height, width=width,
+            precision=precision,
+        )
+        img1 = bilinear_accumulate(
+            px, py, weights * sel, height=height, width=width,
+            precision=precision,
+        )
+        return img0, img1
+
     valid = inbounds_mask(px, py, height, width) & (weights != 0)
     px = jnp.where(valid, px, -2.0)
     py = jnp.where(valid, py, -2.0)

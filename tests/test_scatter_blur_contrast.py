@@ -149,3 +149,24 @@ def test_gaussian_blur_conv_path_matches_matmul(rng):
     out_conv = blur.gaussian_blur(jnp.asarray(img), 1.0)
     ref = numpy_gaussian_blur(img.astype(np.float64), 1.0)
     np.testing.assert_allclose(np.asarray(out_conv), ref, atol=1e-4)
+
+
+def test_bilinear_accumulate_chunked_path(rng, monkeypatch):
+    """Force the chunked scan path and check it matches the dense path."""
+    from cmax_slam_tpu.ops import scatter as sc
+
+    H, W = 40, 60
+    n = 5000
+    px = rng.uniform(-5, W + 5, n).astype(np.float32)
+    py = rng.uniform(-5, H + 5, n).astype(np.float32)
+    w = np.ones(n, np.float32)
+    dense = sc.bilinear_accumulate(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(w), height=H, width=W
+    )
+    monkeypatch.setattr(sc, "_HAT_BYTES_BUDGET", 1 << 20)  # ~2.6k events/chunk
+    sc.bilinear_accumulate._clear_cache()
+    chunked = sc.bilinear_accumulate(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(w), height=H, width=W
+    )
+    sc.bilinear_accumulate._clear_cache()
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense), atol=1e-3)
