@@ -107,9 +107,16 @@ def bilinear_accumulate(
         w = jnp.pad(w, (0, pad))
     shape = (-1, chunk)
 
+    # Rematerialize per-chunk hats in the backward pass: without checkpoint,
+    # reverse-mode saves every chunk's (chunk, H) and (chunk, W) hat matrices
+    # across the scan — the exact HBM blow-up chunking exists to avoid.
+    @jax.checkpoint
+    def chunk_image(cpx, cpy, cw):
+        return _accumulate_dense(cpx, cpy, cw, height, width, precision)
+
     def step(acc, args):
         cpx, cpy, cw = args
-        return acc + _accumulate_dense(cpx, cpy, cw, height, width, precision), None
+        return acc + chunk_image(cpx, cpy, cw), None
 
     out, _ = jax.lax.scan(
         step,
