@@ -49,6 +49,20 @@ def _np_mul(a, b):
     return spline._np_quat_mul(a, b)
 
 
+def _map_epilogue(ig, update_times, il_old, knots_new, fov_times,
+                  t0, dt_knots, pano, order, lut_dev, max_updates: int):
+    """Device-side end-of-window map updates, fused into the solve program:
+    IG absorption with per-pixel saturation (updateIG,
+    pose_graph_optimizer.cpp:303) and FOV update-count growth at the
+    dt_check grid (setUpdateTimesIG, :325-337)."""
+    ig_new = warp_pano.accumulate_global_map(ig, il_old, update_times,
+                                             max_updates)
+    q_fov = spline.evaluate(knots_new, fov_times, t0, dt_knots, order)
+    fovm = warp_pano.fov_mask(q_fov, lut_dev, pano, radius=3)
+    upd_new = update_times + fovm
+    return ig_new, upd_new
+
+
 @dataclass
 class WindowResult:
     index: int
@@ -85,9 +99,12 @@ class Backend:
         self.order = 4 if cfg.trajectory.spline_degree == 3 else 2
         self.degree = self.order - 1
 
-        # Global map state (event_pano_warper.cpp:21-28)
-        self.IG = np.zeros((m.pano_height, m.pano_width), np.float32)
-        self.update_times = np.zeros((m.pano_height, m.pano_width), np.int32)
+        # Global map state (event_pano_warper.cpp:21-28). DEVICE-resident:
+        # the per-window updates (IG absorption, FOV update counts) run
+        # inside the window-solve program, so the multi-megabyte maps never
+        # cross the host-device boundary during streaming.
+        self.IG = jnp.zeros((m.pano_height, m.pano_width), jnp.float32)
+        self.update_times = jnp.zeros((m.pano_height, m.pano_width), jnp.int32)
 
         # Sliding-window cursors
         sw = cfg.sliding_window
@@ -337,6 +354,10 @@ class Backend:
             "weights": jnp.asarray(valid.astype(np.float32)),
             "is_old": jnp.asarray(is_old & valid),
             "size": size,
+            # numpy copies for host-side planning (crop bbox) — no dispatch
+            "np_bearings": bearings,
+            "np_batch_rel": batch_rel,
+            "np_valid": valid,
         }
 
     def _get_solver(self, size: int, K: int):
@@ -352,9 +373,12 @@ class Backend:
         blur_sigma = cfg.warp.blur_sigma
         measure = cfg.contrast_measure
 
+        max_up = cfg.pano_map.max_update_times
+        lut_dev = self.lut_dev
+
         @jax.jit
         def solve(bearings, batch_times, weights, is_old, knots, free_mask,
-                  t0, dt_knots, ig_prime):
+                  t0, dt_knots, ig_prime, update_times, fov_times):
             win0 = PanoWindow(
                 bearings=bearings, batch_times=batch_times, weights=weights,
                 is_old=is_old, knots=knots, free_mask=free_mask,
@@ -388,7 +412,205 @@ class Backend:
             # last evaluation's IL_old, pose_graph_optimizer.cpp:303); the
             # old/new split runs once here, outside the optimization loop.
             il_old, il_new = warp_pano.pano_il_split(drotv, win, pano, order)
-            return knots_new, il_old, res.fun, res.iters, alpha
+            ig_new, upd_new = _map_epilogue(
+                ig_prime, update_times, il_old, knots_new, fov_times,
+                t0, dt_knots, pano, order, lut_dev, max_up,
+            )
+            stats = jnp.stack([
+                res.f0, res.fun, res.iters.astype(jnp.float32), alpha,
+                jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
+            ])
+            return knots_new, ig_new, upd_new, stats
+
+        self._solver_cache[key] = solve
+        return solve
+
+    # Crop-dimension ladder: coarse buckets bound the number of compiled
+    # solver variants; TPU-friendly (multiples of 128).
+    _CROP_LADDER = (128, 256, 384, 512, 640, 768, 1024, 1280, 1536,
+                    2048, 2560, 3072, 4096)
+
+    def _crop_halo(self) -> int:
+        """h = blur radius (+1 for Sobel stencils), the crop-exactness halo."""
+        from .config import IMAGE_GRADIENT_MAGNITUDE_CONTRAST
+        from .ops.blur import opencv_ksize
+
+        sigma = self.cfg.warp.blur_sigma
+        r = (opencv_ksize(sigma) // 2) if sigma > 0 else 0
+        s = 1 if self.cfg.contrast_measure == IMAGE_GRADIENT_MAGNITUDE_CONTRAST else 0
+        return r + s
+
+    def _host_bbox(self, np_bearings, np_batch_rel, np_valid, knots_sub):
+        """Zero-increment warp bounding box in pure numpy (crop planning).
+
+        Subsampled for big windows: the pad margin (>= 34 px) dwarfs the
+        subsampling error, and the post-solve escape check uses the exact
+        device-computed bbox anyway."""
+        B = len(np_batch_rel)
+        E = np_bearings.shape[1] // B
+        bstride = max(1, B // 2048)
+        q = spline.evaluate_np(
+            knots_sub, np_batch_rel[::bstride], 0.0,
+            self.cfg.trajectory.dt_knots, self.order,
+        )
+        R = spline._np_quat_rotmat_batch(q)  # (Bs, 3, 3)
+        b = np_bearings.reshape(3, B, E)[:, ::bstride, :]
+        valid = np_valid.reshape(B, E)[::bstride]
+        estride = max(1, E // 16)
+        b = b[:, :, ::estride]
+        valid = valid[:, ::estride]
+        if not valid.any():
+            return None
+        x = R[:, 0, 0, None] * b[0] + R[:, 0, 1, None] * b[1] + R[:, 0, 2, None] * b[2]
+        y = R[:, 1, 0, None] * b[0] + R[:, 1, 1, None] * b[1] + R[:, 1, 2, None] * b[2]
+        z = R[:, 2, 0, None] * b[0] + R[:, 2, 1, None] * b[1] + R[:, 2, 2, None] * b[2]
+        rho = np.sqrt(x * x + y * y + z * z)
+        phi = np.arctan2(x, z)
+        theta = np.arcsin(np.clip(y / rho, -1.0, 1.0))
+        px = self.pano.cx + phi * self.pano.fx
+        py = self.pano.cy + theta * self.pano.fy
+        return (
+            float(px[valid].min()), float(px[valid].max()),
+            float(py[valid].min()), float(py[valid].max()),
+        )
+
+    def _plan_crop(self, arrays, knots_sub):
+        """Host-side crop geometry for one window; None -> use the full pano.
+
+        Returns (Hc, Wc, ints, h) with ints = [y0, x0, vy0, vy1, vx0, vx1]
+        (v* crop-relative valid-interior bounds; see warp_pano crop notes).
+        A footprint spanning (nearly) a full axis — seam crossings, poles —
+        degrades to a full-axis band or the full image automatically.
+        """
+        bbox = self._host_bbox(
+            arrays["np_bearings"], arrays["np_batch_rel"], arrays["np_valid"],
+            knots_sub,
+        )
+        if bbox is None or not np.all(np.isfinite(bbox)):
+            return None
+        pxm, pxM, pym, pyM = bbox
+        H, W = self.pano.height, self.pano.width
+        h = self._crop_halo()
+        # Margin in pixels the optimizer may move warped events (+2 for the
+        # 2x2 bilinear footprint), then the 2h exactness halo.
+        m = max(32.0, self.cfg.crop_margin_rad * self.pano.fx)
+        pad = m + 2 * h + 2
+
+        def bucket(need: float, dim: int) -> int:
+            for b in self._CROP_LADDER:
+                if b >= need:
+                    return min(b, dim)
+            return dim
+
+        Wc = bucket((pxM - pxm) + 2 * pad, W)
+        Hc = bucket((pyM - pym) + 2 * pad, H)
+        if Hc * Wc >= 0.7 * H * W:
+            return None
+        x0 = min(max(int(round(0.5 * (pxm + pxM) - Wc / 2)), 0), W - Wc)
+        y0 = min(max(int(round(0.5 * (pym + pyM) - Hc / 2)), 0), H - Hc)
+        vx0 = h if x0 > 0 else 0
+        vx1 = Wc - (h if x0 + Wc < W else 0)
+        vy0 = h if y0 > 0 else 0
+        vy1 = Hc - (h if y0 + Hc < H else 0)
+        ints = np.array([y0, x0, vy0, vy1, vx0, vx1], np.int32)
+        return Hc, Wc, ints, h
+
+    def _crop_escaped(self, bbox_opt, ints, Hc: int, Wc: int, h: int) -> bool:
+        """True if the optimum's warped events got too close to a non-border
+        crop edge for the crop objective to have been exact there."""
+        box = np.asarray(bbox_opt, np.float64)
+        if not np.all(np.isfinite(box)):
+            return True
+        pxm, pxM, pym, pyM = (float(v) for v in box)
+        y0, x0, vy0, vy1, vx0, vx1 = (int(v) for v in ints)
+        ok = True
+        if vx0 > 0:
+            ok &= pxm - 2 >= x0 + vx0 + h
+        if vx1 < Wc:
+            ok &= pxM + 2 <= x0 + vx1 - h
+        if vy0 > 0:
+            ok &= pym - 2 >= y0 + vy0 + h
+        if vy1 < Hc:
+            ok &= pyM + 2 <= y0 + vy1 - h
+        return not ok
+
+    def _get_crop_solver(self, size: int, K: int, Hc: int, Wc: int):
+        """Jitted FOV-crop window solver: identical protocol to _get_solver
+        but every objective evaluation runs at crop scale."""
+        key = ("crop", size, K, Hc, Wc)
+        if key in self._solver_cache:
+            return self._solver_cache[key]
+
+        cfg = self.cfg
+        pano = self.pano
+        order = self.order
+        o = cfg.optim
+        blur_sigma = cfg.warp.blur_sigma
+        measure = cfg.contrast_measure
+        H, W = pano.height, pano.width
+        max_up = cfg.pano_map.max_update_times
+        lut_dev = self.lut_dev
+
+        @jax.jit
+        def solve(bearings, batch_times, weights, is_old, knots, free_mask,
+                  t0, dt_knots, ig_prime, update_times, fov_times, crop_ints):
+            win0 = PanoWindow(
+                bearings=bearings, batch_times=batch_times, weights=weights,
+                is_old=is_old, knots=knots, free_mask=free_mask,
+                t0=t0, dt_knots=dt_knots,
+                ig_prime=ig_prime, alpha=jnp.float32(0.0),
+            )
+            win, x0f, y0f, a_crop, mask, out_s1, out_s2 = (
+                warp_pano.crop_window_constants(
+                    win0, pano, order, blur_sigma, measure, (Hc, Wc), crop_ints
+                )
+            )
+            f, vg = warp_pano.make_crop_objective(
+                win, pano, order, blur_sigma, measure, (Hc, Wc),
+                x0f, y0f, a_crop, mask, out_s1, out_s2,
+            )
+            res = optim.minimize_fr_cg(
+                vg, jnp.zeros(3 * K, jnp.float32), f_fn=f,
+                max_line_searches=o.max_line_searches,
+                initial_step=o.initial_step,
+                line_search_tol=o.line_search_tol,
+                grad_tol=o.grad_tol,
+                fun_tol=o.fun_tol,
+                max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+            )
+            drotv = res.x.reshape(K, 3)
+            knots_new = spline.apply_masked_increments(knots, drotv, free_mask)
+            # Old/new split at the optimum, on the crop, scattered back into
+            # full-pano frames for updateIG; plus the optimum's bounding box
+            # for the host-side escape check.
+            px, py = warp_pano.warp_to_pano(drotv, win, pano, order)
+            valid = weights > 0
+            inf = jnp.asarray(jnp.inf, px.dtype)
+            bbox_opt = jnp.stack([
+                jnp.min(jnp.where(valid, px, inf)),
+                jnp.max(jnp.where(valid, px, -inf)),
+                jnp.min(jnp.where(valid, py, inf)),
+                jnp.max(jnp.where(valid, py, -inf)),
+            ])
+            from .ops.scatter import bilinear_accumulate_two
+
+            ilo_c, _ = bilinear_accumulate_two(
+                px - x0f, py - y0f, weights, ~is_old, height=Hc, width=Wc,
+            )
+            il_old = jax.lax.dynamic_update_slice(
+                jnp.zeros((H, W), jnp.float32), ilo_c,
+                (crop_ints[0], crop_ints[1]),
+            )
+            ig_new, upd_new = _map_epilogue(
+                ig_prime, update_times, il_old, knots_new, fov_times,
+                t0, dt_knots, pano, order, lut_dev, max_up,
+            )
+            stats = jnp.concatenate([
+                jnp.stack([res.f0, res.fun, res.iters.astype(jnp.float32),
+                           win.alpha]),
+                bbox_opt,
+            ])
+            return knots_new, ig_new, upd_new, stats
 
         self._solver_cache[key] = solve
         return solve
@@ -410,47 +632,62 @@ class Backend:
         free[num_fixed:n_real] = 1.0
 
         t_knot0 = self.traj.knot_time(idx_cp_traj_beg)
-        solve = self._get_solver(size, K)
-        knots_new, il_old, fun, iters, alpha = solve(
+        fov_rel = self._fov_times_rel(t_knot0, n_real)
+        args = (
             arrays["bearings"], arrays["batch_times"], arrays["weights"],
             arrays["is_old"], jnp.asarray(sub.astype(np.float32)),
             jnp.asarray(free), jnp.float32(0.0),
             jnp.float32(self.cfg.trajectory.dt_knots),
-            jnp.asarray(self.IG),
+            self.IG, self.update_times, jnp.asarray(fov_rel),
         )
+        out = None
+        plan = self._plan_crop(arrays, sub) if self.cfg.crop_solver else None
+        if plan is not None:
+            Hc, Wc, ints, h = plan
+            crop_solve = self._get_crop_solver(size, K, Hc, Wc)
+            knots_new, ig_new, upd_new, stats = crop_solve(
+                *args, jnp.asarray(ints)
+            )
+            stats = np.asarray(stats)
+            if self._crop_escaped(stats[4:8], ints, Hc, Wc, h):
+                logger.info(
+                    "[back-end] window %d: optimum escaped the %dx%d crop; "
+                    "re-solving on the full panorama", self.count_window, Hc, Wc,
+                )
+                self.metrics.count("backend.crop_escapes", 1)
+            else:
+                self.metrics.count("backend.crop_windows", 1)
+                out = (knots_new, ig_new, upd_new, stats)
+        if out is None:
+            solve = self._get_solver(size, K)
+            knots_new, ig_new, upd_new, stats = solve(*args)
+            out = (knots_new, ig_new, upd_new, np.asarray(stats))
+        knots_new, ig_new, upd_new, stats = out
 
         # Write back optimized knots (incrementalUpdate on the live
-        # trajectory, global_optim_contrast_gsl.cpp:130).
+        # trajectory, global_optim_contrast_gsl.cpp:130); keep the updated
+        # maps as device arrays (the next window consumes them in place).
         self.traj.knots[idx_cp_traj_beg : idx_cp_traj_beg + n_real] = np.asarray(
             knots_new, np.float64
         )[:n_real]
+        self.IG = ig_new
+        self.update_times = upd_new
+        return float(stats[0]), float(stats[1]), int(stats[2])
 
-        # Global-map absorption + update-count growth (:303-337).
-        self.IG = np.asarray(
-            warp_pano.accumulate_global_map(
-                jnp.asarray(self.IG), il_old, jnp.asarray(self.update_times),
-                self.cfg.pano_map.max_update_times,
-            )
+    def _fov_times_rel(self, t_knot0: float, n_real: int,
+                       dt_check: float = 0.05) -> np.ndarray:
+        """setUpdateTimesIG's dt_check grid across the consumed stride
+        (pose_graph_optimizer.cpp:325-337), clamped to the evaluable span and
+        shifted to the window sub-spline clock. Length depends only on the
+        configured stride, so the solver signature stays static."""
+        count = max(1, int(math.ceil(self.win_stride / dt_check - 1e-9)))
+        times = self.t_win_beg + dt_check * np.arange(count)
+        t_max = min(
+            self.traj.max_time() - 1e-9,
+            t_knot0 + (n_real - self.order + 1) * self.cfg.trajectory.dt_knots
+            - 1e-9,
         )
-        self._set_update_times_ig()
-        return 0.0, float(fun), int(iters)
-
-    def _set_update_times_ig(self, dt_check: float = 0.05, radius: int = 3):
-        """setUpdateTimesIG (pose_graph_optimizer.cpp:325-337): mark FOV
-        pixels at dt_check steps across the consumed stride."""
-        t_end = self.t_win_beg + self.win_stride
-        t = self.t_win_beg
-        times = []
-        while t < t_end:
-            times.append(min(t, self.traj.max_time() - 1e-9))
-            t += dt_check
-        if not times:
-            return
-        qs = jnp.asarray(
-            np.stack([self.traj.evaluate(tt)[0] for tt in times]).astype(np.float32)
-        )
-        mask = warp_pano.fov_mask(qs, self.lut_dev, self.pano, radius)
-        self.update_times += np.asarray(mask, np.int32)
+        return (np.minimum(times, t_max) - t_knot0).astype(np.float32)
 
     def _slide_window(self):
         """slideWindow (pose_graph_optimizer.cpp:339-354)."""
@@ -466,7 +703,7 @@ class Backend:
         pose_graph_optimizer.cpp:378-413)."""
         from .utils.image import render_pano
 
-        img = render_pano(self.IG, gamma=self.cfg.gamma, invert=True)
+        img = render_pano(np.asarray(self.IG), gamma=self.cfg.gamma, invert=True)
         if self.cfg.draw_fov and self.traj is not None and self.traj.size >= self.order:
             img = np.stack([img] * 3, axis=-1)
             t_plot = min(self.t_win_end - 1e-6, self.traj.max_time() - 1e-9)
@@ -487,8 +724,8 @@ class Backend:
                 float(d["traj_t_beg"]), self.cfg.trajectory.dt_knots, self.order
             )
             self.traj.push_ctrl_poses(knots)
-        self.IG = np.asarray(d["IG"], np.float32)
-        self.update_times = np.asarray(d["update_times"], np.int32)
+        self.IG = jnp.asarray(np.asarray(d["IG"], np.float32))
+        self.update_times = jnp.asarray(np.asarray(d["update_times"], np.int32))
         self.count_window = int(d["count_window"])
         self.t_win_beg = float(d["t_win_beg"])
         self.t_win_end = float(d["t_win_end"])
@@ -503,8 +740,8 @@ class Backend:
         return {
             "knots": self.traj.knots if self.traj else np.zeros((0, 4)),
             "traj_t_beg": self.traj.t_beg if self.traj else 0.0,
-            "IG": self.IG,
-            "update_times": self.update_times,
+            "IG": np.asarray(self.IG),
+            "update_times": np.asarray(self.update_times),
             "count_window": self.count_window,
             "t_win_beg": getattr(self, "t_win_beg", 0.0),
             "t_win_end": getattr(self, "t_win_end", 0.0),

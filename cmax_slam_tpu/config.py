@@ -101,6 +101,12 @@ class BackendConfig:
     gamma: float = 0.75
     # Static cap on the padded per-window event subset (TPU static shapes).
     max_events_per_window: int = 1 << 18
+    # FOV-crop solver: evaluate each window's objective on a crop around the
+    # warped-event footprint (exact; ops/warp_pano.make_crop_objective). The
+    # margin bounds how far the optimizer may move warped events before the
+    # escape check triggers a full-pano re-solve of that window.
+    crop_solver: bool = True
+    crop_margin_rad: float = 0.1
 
 
 @dataclass(frozen=True)

@@ -61,3 +61,56 @@ def contrast(image: jnp.ndarray, measure: int = VARIANCE_CONTRAST) -> jnp.ndarra
     if measure == IMAGE_GRADIENT_MAGNITUDE_CONTRAST:
         return gradient_magnitude(image)
     return variance(image)
+
+
+# ---------------------------------------------------------------------------
+# Sufficient-statistics form: every measure above is a function of image-wide
+# sums, so a region-decomposed objective (back-end FOV-crop solver,
+# warp_pano.make_crop_objective) can evaluate the crop's sums per iteration
+# and fold in per-window-constant sums for the untouched remainder — the
+# result is bit-for-bit the measure over the full panorama.
+# ---------------------------------------------------------------------------
+
+def region_stats(
+    image: jnp.ndarray, mask: jnp.ndarray, measure: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(s1, s2) sums of the measure's integrand over ``mask`` pixels.
+
+    variance:      s1 = sum(I),  s2 = sum(I^2)
+    mean_square:   s1 = 0,       s2 = sum(I^2)
+    grad-mag:      s1 = 0,       s2 = sum(|Sobel I|^2)  (Sobel over the whole
+                   crop, masked afterwards — stencils of masked-in pixels must
+                   stay inside the crop, which the caller's halo guarantees).
+    """
+    if measure == IMAGE_GRADIENT_MAGNITUDE_CONTRAST:
+        gx = _sobel(image, axis=1)
+        gy = _sobel(image, axis=0)
+        s2 = jnp.sum((gx * gx + gy * gy) * mask)
+        return jnp.zeros_like(s2), s2
+    s2 = jnp.sum(jnp.square(image) * mask)
+    if measure == MEAN_SQUARE_CONTRAST:
+        return jnp.zeros_like(s2), s2
+    return jnp.sum(image * mask), s2
+
+
+def full_stats(image: jnp.ndarray, measure: int):
+    """(s1, s2) over every pixel (mask-free fast path of region_stats)."""
+    if measure == IMAGE_GRADIENT_MAGNITUDE_CONTRAST:
+        gx = _sobel(image, axis=1)
+        gy = _sobel(image, axis=0)
+        s2 = jnp.sum(gx * gx + gy * gy)
+        return jnp.zeros_like(s2), s2
+    s2 = jnp.sum(jnp.square(image))
+    if measure == MEAN_SQUARE_CONTRAST:
+        return jnp.zeros_like(s2), s2
+    return jnp.sum(image), s2
+
+
+def contrast_from_stats(s1, s2, n_pixels: int, measure: int) -> jnp.ndarray:
+    """Measure value from summed statistics over ``n_pixels`` total pixels."""
+    if measure == MEAN_SQUARE_CONTRAST:
+        return s2 / n_pixels
+    if measure == IMAGE_GRADIENT_MAGNITUDE_CONTRAST:
+        return s2 / n_pixels
+    mean = s1 / n_pixels
+    return s2 / n_pixels - mean * mean

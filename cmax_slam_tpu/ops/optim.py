@@ -37,6 +37,7 @@ class CGResult(NamedTuple):
     fun: jnp.ndarray
     iters: jnp.ndarray
     status: jnp.ndarray
+    f0: jnp.ndarray  # objective at x0 (the reference logs initial contrast)
 
 
 class _LSState(NamedTuple):
@@ -239,4 +240,4 @@ def minimize_fr_cg(
     )
     out = jax.lax.while_loop(cond, body, init)
     status = jnp.where(out.status == RUNNING, MAX_ITERS, out.status)
-    return CGResult(x=out.x, fun=out.f, iters=out.it, status=status)
+    return CGResult(x=out.x, fun=out.f, iters=out.it, status=status, f0=f0)

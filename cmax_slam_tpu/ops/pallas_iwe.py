@@ -74,7 +74,7 @@ def _fwd_kernel(px_ref, py_ref, w_ref, out_ref, *, height, width, acc_dtype,
     col_x = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1).astype(acc_dtype)
     col_y = jax.lax.broadcasted_iota(jnp.int32, (1, height), 1).astype(acc_dtype)
 
-    def row(r, acc):
+    def row(r, _):
         px, py, w = _sanitize(
             px_ref[r, :], py_ref[r, :], w_ref[r, :], height, width
         )
@@ -84,13 +84,17 @@ def _fwd_kernel(px_ref, py_ref, w_ref, out_ref, *, height, width, acc_dtype,
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(px.astype(acc_dtype)[:, None] - col_x))
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(py.astype(acc_dtype)[:, None] - col_y))
         wy = wy * w.astype(acc_dtype)[:, None]
-        return acc + jax.lax.dot_general(
+        # Accumulate straight into the output ref: a loop-carried accumulator
+        # would keep a third (H, W) f32 buffer live (out_ref + carry + dot
+        # result), which blows the 16 MB VMEM budget on big pano crops.
+        out_ref[:] += jax.lax.dot_general(
             wy, wx, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu_precision,
         )
+        return 0
 
-    out_ref[:] += jax.lax.fori_loop(0, ROWS, row, jnp.zeros_like(out_ref))
+    jax.lax.fori_loop(0, ROWS, row, 0)
 
 
 def _bwd_kernel(px_ref, py_ref, w_ref, g_ref, dpx_ref, dpy_ref, dw_ref,
@@ -194,9 +198,22 @@ def _vjp_bwd(height, width, precision, lane, res, g):
     px, py, weights = res
     n = px.shape[0]
     acc_dtype, mxu = _resolve(precision)
-    # The backward kernel keeps ~2.5x the forward's VMEM live (hats + their
-    # derivatives + two contraction results), so it runs at a narrower lane.
-    lane = min(lane, 1024)
+    # The backward keeps far more VMEM live than the forward (the upstream
+    # (H, W) block is double-buffered, plus hats AND their derivatives AND two
+    # contraction results), so it picks its own lane; when even lane 128
+    # cannot fit (big pano crops), chain through the XLA chunked vote path —
+    # same floor-parametrized gradient semantics (ops/scatter.py).
+    lane = pick_bwd_lane(height, width)
+    if lane == 0:
+        from .scatter import bilinear_accumulate
+
+        _, pull = jax.vjp(
+            lambda a, b, c: bilinear_accumulate(
+                a, b, c, height=height, width=width, precision=precision
+            ),
+            px, py, weights,
+        )
+        return pull(g)
     px2, py2, w2, blocks, _ = _pad_blocks(
         px.astype(jnp.float32), py.astype(jnp.float32),
         weights.astype(jnp.float32), lane,
@@ -230,15 +247,37 @@ bilinear_accumulate_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def vmem_fits(height: int, width: int, lane: int = LANE,
-              budget_bytes: int = 8 * 1024 * 1024) -> bool:
-    """Whether the accumulator (+ hat blocks) fits comfortably in VMEM."""
+              budget_bytes: int = 15 * 1024 * 1024) -> bool:
+    """Whether the FORWARD kernel's live VMEM fits the 16 MB/core budget:
+    out_ref + the dot result (2 accumulator copies) + one wx/wy hat pair.
+    Coefficients validated against Mosaic's scoped-vmem accounting on v5e
+    (a 1024x1280 crop at lane 128 measured 17.9 MB under the old 3-copy
+    forward; 2-copy at lane 256 compiles)."""
     acc = height * ((width + 127) // 128 * 128) * 4
-    hats = lane * (height + width) * 4 * 2
-    return acc + hats < budget_bytes
+    pair = (height + width) * 4
+    misc = 1 * 1024 * 1024  # event blocks (double-buffered), semaphores, slack
+    return 2 * acc + lane * pair + misc < budget_bytes
+
+
+def pick_bwd_lane(height: int, width: int,
+                  budget_bytes: int = 15 * 1024 * 1024) -> int:
+    """Widest lane the BACKWARD kernel fits at; 0 -> caller chains through
+    the XLA vote path. Live set: the upstream (H, W) block (double-buffered,
+    plus one arithmetic copy), hats + derivative hats (2 pairs) and the two
+    contraction results (1 pair) with their f32 casts (~6 pairs total).
+    Calibrated on v5e: 1024x1280 at lane 256 measured 31.3 MB -> reject;
+    the 180x240 local IWE at lane 1024 runs (11.9 MB predicted)."""
+    acc = height * ((width + 127) // 128 * 128) * 4
+    pair = (height + width) * 4
+    misc = 1 * 1024 * 1024
+    for lane in (1024, 512, 256, 128):
+        if 3 * acc + 6 * lane * pair + misc < budget_bytes:
+            return lane
+    return 0
 
 
 def pick_lane(height: int, width: int) -> int:
-    """Widest lane (of 1024/512/256/128) that keeps the kernel in VMEM;
+    """Widest lane (of 2048..128) that keeps the kernel in VMEM;
     0 when even 128 lanes do not fit (caller should use the XLA path)."""
     for lane in (2048, 1024, 512, 256, 128):
         if vmem_fits(height, width, lane):

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from .. import lie, spline
 from ..calib import EquirectCamera
+from . import contrast as contrast_mod
 from .blur import gaussian_blur
 from .contrast import contrast
 from .scatter import bilinear_accumulate_two
@@ -78,8 +79,12 @@ def warp_to_pano(
     Rotation is expanded by matrix components over (B, E) event blocks so the
     TPU lane dimension stays wide (no minor-dim-3 tensors in the hot path)."""
     knots = spline.apply_masked_increments(win.knots, drotv, win.free_mask)
-    q_batch = spline.evaluate(knots, win.batch_times, win.t0, win.dt_knots, order)
-    R = lie.to_matrix(q_batch)  # (B, 3, 3)
+    # Lane-major spline evaluation: rotation-matrix components as (B,) arrays
+    # (a (B, 4) quaternion path wastes 124/128 of each vector lane tile and
+    # measured as ~90% of the objective's warp cost).
+    R = spline.evaluate_rotmats(
+        knots, win.batch_times, win.t0, win.dt_knots, order
+    )
 
     B = win.batch_times.shape[0]
     bx = win.bearings[0].reshape(B, -1)
@@ -88,7 +93,7 @@ def warp_to_pano(
 
     def comp(i):
         return (
-            R[:, i, 0, None] * bx + R[:, i, 1, None] * by + R[:, i, 2, None] * bz
+            R[i][0][:, None] * bx + R[i][1][:, None] * by + R[i][2][:, None] * bz
         )
 
     x, y, z = comp(0), comp(1), comp(2)
@@ -102,21 +107,24 @@ def warp_to_pano(
     return px, py
 
 
-def _accumulate_total(px, py, weights, pano: EquirectCamera, precision: str):
-    """Single total-IL accumulation, fused Pallas kernel when it fits VMEM."""
+def _accumulate_image(px, py, weights, height: int, width: int, precision: str):
+    """Single vote accumulation, fused Pallas kernel when it fits VMEM."""
     from .pallas_iwe import bilinear_accumulate_pallas, pick_lane
 
-    lane = pick_lane(pano.height, pano.width)
+    lane = pick_lane(height, width)
     if jax.default_backend() == "tpu" and lane > 0:
         return bilinear_accumulate_pallas(
-            px, py, weights, pano.height, pano.width, precision, lane
+            px, py, weights, height, width, precision, lane
         )
     from .scatter import bilinear_accumulate
 
     return bilinear_accumulate(
-        px, py, weights, height=pano.height, width=pano.width,
-        precision=precision,
+        px, py, weights, height=height, width=width, precision=precision,
     )
+
+
+def _accumulate_total(px, py, weights, pano: EquirectCamera, precision: str):
+    return _accumulate_image(px, py, weights, pano.height, pano.width, precision)
 
 
 def pano_objective_image(
@@ -217,6 +225,133 @@ def derivative_images(
 
     J = jax.jacfwd(image_of)(jnp.zeros((K, 3), jnp.float32))  # (H, W, K, 3)
     return jnp.moveaxis(J, (2, 3), (0, 1))
+
+
+# ---------------------------------------------------------------------------
+# FOV-crop objective
+#
+# The warped events of one back-end window only ever cover the sensor-FOV
+# footprint swept during the window — a small fraction of the panorama (the
+# reference's own setUpdateTimesIG leans on the same fact,
+# event_pano_warper.cpp:81-107). The solver therefore accumulates votes into
+# a crop around the zero-increment footprint and evaluates the contrast as
+#     measure(full image) = combine(stats over crop interior,
+#                                   per-window-constant stats elsewhere)
+# which is EXACT as long as warped events stay inside the crop margin — the
+# caller checks the optimum's bounding box and re-solves on the full pano in
+# the (rare) escape case. Geometry invariants, with r = blur radius and
+# s = 1 for Sobel measures (h = r + s):
+#   * crop C ⊇ footprint ⊕ (margin + 2h): all votes stay ≥ 2h inside C,
+#   * valid interior V = C shrunk by h on edges not on the image border:
+#     blur/Sobel of the crop are exact on V (stencils never read a
+#     reflect-101 value that the full image wouldn't also reflect),
+#   * blur(IL) (and its Sobel) vanish outside V, so outside V the true image
+#     is the constant alpha * blur(IG'), whose stats are precomputed.
+# ---------------------------------------------------------------------------
+
+
+def interior_mask(height: int, width: int, bounds) -> jnp.ndarray:
+    """(H, W) float mask of the dynamic interior [vy0, vy1) x [vx0, vx1)."""
+    vy0, vy1, vx0, vx1 = bounds
+    ry = jax.lax.broadcasted_iota(jnp.int32, (height, 1), 0)
+    rx = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    m = (ry >= vy0) & (ry < vy1) & (rx >= vx0) & (rx < vx1)
+    return m.astype(jnp.float32)
+
+
+def warp_bbox(drotv, win: PanoWindow, pano: EquirectCamera, order: int):
+    """(min px, max px, min py, max py) over valid events; ±inf when empty."""
+    px, py = warp_to_pano(drotv, win, pano, order)
+    valid = win.weights > 0
+    inf = jnp.asarray(jnp.inf, px.dtype)
+    return jnp.stack(
+        [
+            jnp.min(jnp.where(valid, px, inf)),
+            jnp.max(jnp.where(valid, px, -inf)),
+            jnp.min(jnp.where(valid, py, inf)),
+            jnp.max(jnp.where(valid, py, -inf)),
+        ]
+    )
+
+
+def make_crop_objective(
+    win: PanoWindow,
+    pano: EquirectCamera,
+    order: int,
+    blur_sigma: float,
+    measure: int,
+    crop_hw: tuple,
+    x0f,
+    y0f,
+    a_crop: jnp.ndarray,
+    mask: jnp.ndarray,
+    out_s1,
+    out_s2,
+    precision: str = "highest",
+):
+    """Crop-decomposed negative-contrast objective over R^{3K}; exactly equal
+    to make_pano_objective's value under the geometry invariants above.
+
+    a_crop is the per-window-constant alpha * blur(IG') slice under the crop
+    (blur linearity: blur(IL + a*IG') = blur(IL) + a*blur(IG')); out_s1/out_s2
+    are the constant stats of that term over the pixels outside the valid
+    interior."""
+    K = win.knots.shape[0]
+    Hc, Wc = crop_hw
+    n_total = pano.height * pano.width
+
+    def f(flat_drotv):
+        drotv = flat_drotv.reshape(K, 3)
+        px, py = warp_to_pano(drotv, win, pano, order)
+        il = _accumulate_image(px - x0f, py - y0f, win.weights, Hc, Wc, precision)
+        image = gaussian_blur(il, blur_sigma, precision=precision) + a_crop
+        s1, s2 = contrast_mod.region_stats(image, mask, measure)
+        return -contrast_mod.contrast_from_stats(
+            s1 + out_s1, s2 + out_s2, n_total, measure
+        )
+
+    return f, jax.value_and_grad(f)
+
+
+def crop_window_constants(
+    win: PanoWindow,
+    pano: EquirectCamera,
+    order: int,
+    blur_sigma: float,
+    measure: int,
+    crop_hw: tuple,
+    crop_ints: jnp.ndarray,
+    precision: str = "highest",
+):
+    """Per-window constants of the crop objective (all inside one jit):
+    alpha from the zero-increment IL (whose full-image density equals its
+    crop density — zeros elsewhere), the a_crop slice, the interior mask and
+    the outside stats. Returns (win_with_alpha, x0f, y0f, a_crop, mask,
+    out_s1, out_s2)."""
+    Hc, Wc = crop_hw
+    y0, x0 = crop_ints[0], crop_ints[1]
+    bounds = (crop_ints[2], crop_ints[3], crop_ints[4], crop_ints[5])
+    x0f = x0.astype(jnp.float32)
+    y0f = y0.astype(jnp.float32)
+
+    K = win.knots.shape[0]
+    px0, py0 = warp_to_pano(jnp.zeros((K, 3), jnp.float32), win, pano, order)
+    il0 = _accumulate_image(px0 - x0f, py0 - y0f, win.weights, Hc, Wc, precision)
+    alpha = compute_alpha(il0, win.ig_prime)
+
+    a_full = alpha * gaussian_blur(win.ig_prime, blur_sigma, precision=precision)
+    a_crop = jax.lax.dynamic_slice(a_full, (y0, x0), (Hc, Wc))
+    mask = interior_mask(Hc, Wc, bounds)
+
+    # For the Sobel measure the same decomposition holds: a_crop is an exact
+    # slice of a_full and the mask sits >= h inside the crop, so the masked
+    # Sobel of a_crop equals the Sobel of a_full on those pixels.
+    s1_full, s2_full = contrast_mod.full_stats(a_full, measure)
+    s1_v, s2_v = contrast_mod.region_stats(a_crop, mask, measure)
+    return (
+        win._replace(alpha=alpha), x0f, y0f, a_crop, mask,
+        s1_full - s1_v, s2_full - s2_v,
+    )
 
 
 def event_density(image: jnp.ndarray, lam0: float = 1.0) -> jnp.ndarray:

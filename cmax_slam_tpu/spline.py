@@ -113,6 +113,90 @@ def evaluate(
     return res
 
 
+# ---------------------------------------------------------------------------
+# Lane-major (structure-of-arrays) fast path
+#
+# `evaluate` operates on (..., 4) quaternion tensors whose minor dimension of
+# 4 occupies 4/128 of a TPU vector lane tile; with a few dozen elementwise ops
+# per spline segment this dominates the back-end objective's per-evaluation
+# cost (measured 0.78 ms of a 0.84 ms warp at B=256 on v5e). The SoA variants
+# below carry each quaternion/vector COMPONENT as its own (B,) array — full
+# lane tiles, identical math, same autodiff semantics.
+# ---------------------------------------------------------------------------
+
+
+def _soa_mul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return (
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    )
+
+
+def _soa_log(q):
+    w, x, y, z = q
+    sign = jnp.where(w < 0, -1.0, 1.0)
+    w, x, y, z = w * sign, x * sign, y * sign, z * sign
+    n_sq = x * x + y * y + z * z
+    small = n_sq < lie._EPS * lie._EPS
+    n = jnp.sqrt(jnp.where(small, 1.0, n_sq))
+    w_c = jnp.clip(w, -1.0, 1.0)
+    theta = 2.0 * jnp.arctan2(n, w_c)
+    w_safe = jnp.maximum(w_c, 0.5)
+    scale = jnp.where(
+        small, 2.0 / w_safe - 2.0 * n_sq / (3.0 * w_safe**3), theta / n
+    )
+    return x * scale, y * scale, z * scale
+
+
+def _soa_exp(v):
+    x, y, z = v
+    theta_sq = x * x + y * y + z * z
+    small = theta_sq < lie._EPS * lie._EPS
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta_sq))
+    half = 0.5 * theta
+    sinc_half = jnp.where(small, 0.5 - theta_sq / 48.0, jnp.sin(half) / theta)
+    w = jnp.where(small, 1.0 - theta_sq / 8.0, jnp.cos(half))
+    return w, x * sinc_half, y * sinc_half, z * sinc_half
+
+
+def evaluate_rotmats(knots: jnp.ndarray, t: jnp.ndarray, t0, dt, order: int):
+    """Evaluate the spline at times ``t`` and return the rotation matrices as
+    a 3x3 nest of (B,) component arrays R[i][j] — exactly ``lie.to_matrix(
+    evaluate(...))`` reassociated into lane-major arithmetic (the back-end
+    warp consumes components anyway; see warp_pano.warp_to_pano)."""
+    M = jnp.asarray(blending_matrix(order, cumulative=True), dtype=knots.dtype)
+    num_knots = knots.shape[0]
+    s, u = _segment_and_u(t, t0, dt, num_knots, order)
+    up = jnp.stack([u**i for i in range(order)], axis=-1)
+    coeff = (up @ M).astype(knots.dtype)  # (B, order)
+
+    idx = s[:, None] + jnp.arange(order)  # (B, order)
+    kq = jnp.take(knots.T, idx, axis=1)  # (4, B, order)
+
+    res = (kq[0, :, 0], kq[1, :, 0], kq[2, :, 0], kq[3, :, 0])
+    for j in range(1, order):
+        q0_inv = (kq[0, :, j - 1], -kq[1, :, j - 1],
+                  -kq[2, :, j - 1], -kq[3, :, j - 1])
+        q1 = (kq[0, :, j], kq[1, :, j], kq[2, :, j], kq[3, :, j])
+        dx, dy, dz = _soa_log(_soa_mul(q0_inv, q1))
+        c = coeff[:, j]
+        res = _soa_mul(res, _soa_exp((c * dx, c * dy, c * dz)))
+
+    w, x, y, z = res
+    xx, yy, zz = x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    return (
+        (1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)),
+        (2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)),
+        (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)),
+    )
+
+
 def evaluate_with_jacobian(
     knots: jnp.ndarray, t: jnp.ndarray, t0, dt, order: int
 ):
@@ -199,7 +283,83 @@ def fit_ctrl_poses(
     return out
 
 
+def evaluate_np(
+    knots: np.ndarray, t: np.ndarray, t0: float, dt: float, order: int
+) -> np.ndarray:
+    """Pure-numpy float64 batch evaluation (same math as `evaluate`).
+
+    Host-side paths (pose bookkeeping, crop planning, checkpoint resume) call
+    this instead of the jnp version: a trajectory lookup is a handful of
+    flops, and routing it through the device costs a dispatch round-trip per
+    call (~25 ms through a remote-TPU tunnel)."""
+    knots = np.asarray(knots, np.float64)
+    t = np.atleast_1d(np.asarray(t, np.float64))
+    M = blending_matrix(order, cumulative=True)
+    rel = (t - t0) / dt
+    s = np.clip(np.floor(rel).astype(np.int64), 0, len(knots) - order)
+    u = rel - s
+    up = np.stack([u**i for i in range(order)], axis=-1)
+    coeff = up @ M  # (B, order)
+    kq = knots[s[:, None] + np.arange(order)]  # (B, order, 4)
+    res = kq[:, 0]
+    for j in range(1, order):
+        q0 = kq[:, j - 1] * np.array([1.0, -1, -1, -1])
+        d = _np_quat_log_batch(_np_quat_mul_batch(q0, kq[:, j]))
+        res = _np_quat_mul_batch(res, _np_quat_exp_batch(coeff[:, j, None] * d))
+    return res
+
+
 # Small float64 numpy quaternion helpers for host-side fitting.
+def _np_quat_mul_batch(a, b):
+    w1, x1, y1, z1 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    w2, x2, y2, z2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return np.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=-1,
+    )
+
+
+def _np_quat_exp_batch(v):
+    theta = np.linalg.norm(v, axis=-1, keepdims=True)
+    small = theta < 1e-12
+    safe = np.where(small, 1.0, theta)
+    w = np.cos(theta / 2)
+    s = np.where(small, 0.5, np.sin(safe / 2) / safe)
+    return np.concatenate([w, s * v], axis=-1)
+
+
+def _np_quat_log_batch(q):
+    w = q[..., :1]
+    xyz = q[..., 1:]
+    sign = np.where(w < 0, -1.0, 1.0)
+    w = w * sign
+    xyz = xyz * sign
+    n = np.linalg.norm(xyz, axis=-1, keepdims=True)
+    small = n < 1e-12
+    scale = np.where(
+        small, 2.0 / np.maximum(w, 0.5),
+        2.0 * np.arctan2(n, w) / np.where(small, 1.0, n),
+    )
+    return xyz * scale
+
+
+def _np_quat_rotmat_batch(q):
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return np.stack(
+        [
+            np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            np.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
+
+
 def _np_quat_mul(a, b):
     w1, x1, y1, z1 = a
     w2, x2, y2, z2 = b
@@ -312,12 +472,9 @@ class Trajectory:
         )
 
     def evaluate(self, t) -> np.ndarray:
-        """Evaluate at scalar/array times (float64 host path)."""
-        t = np.atleast_1d(np.asarray(t, dtype=np.float64))
-        q = evaluate(
-            jnp.asarray(self.knots), jnp.asarray(t), self.t_beg, self.dt_knots, self.order
-        )
-        return np.asarray(q)
+        """Evaluate at scalar/array times (float64 host path, pure numpy —
+        no device dispatch for bookkeeping lookups)."""
+        return evaluate_np(self.knots, t, self.t_beg, self.dt_knots, self.order)
 
     def incremental_update(self, drotv: np.ndarray, idx_beg: int) -> None:
         out = incremental_update(

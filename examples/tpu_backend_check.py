@@ -55,6 +55,9 @@ m = slam.metrics
 fs = m.timers.get("frontend.solve")
 bs = m.timers.get("backend.solve")
 print(f"windows={len(res)} all_ba={all(r.ran_ba for r in res)} wall={wall:.1f}s")
+for r in res:
+    print(f"  win {r.index}: iters={r.iters} cost {r.initial_cost:.6f} -> "
+          f"{r.final_cost:.6f}")
 print(f"frontend solves: {fs.count} mean {fs.mean*1e3:.1f} ms (min {fs.minimum*1e3:.1f})")
 print(f"backend  solves: {bs.count} mean {bs.mean*1e3:.1f} ms (min {bs.minimum*1e3:.1f})")
 

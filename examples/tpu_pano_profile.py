@@ -79,3 +79,39 @@ timeit("votes(two)           ", s_votes)
 timeit("blur 512x1024 highest", s_blur)
 timeit("f (full objective)   ", s_f)
 timeit("value_and_grad       ", s_vg, reps=8)
+
+# ---- FOV-crop objective at the same window ----------------------------------
+from cmax_slam_tpu.ops.blur import opencv_ksize
+
+bbox = np.asarray(warp_pano.warp_bbox(jnp.zeros((K, 3), jnp.float32), win, pano, 2))
+h = opencv_ksize(1.0) // 2
+pad = max(32.0, 0.1 * pano.fx) + 2 * h + 2
+ladder = (128, 256, 384, 512, 768, 1024)
+Hc = min([b for b in ladder if b >= bbox[3] - bbox[2] + 2 * pad] or [Hp], key=int)
+Wc = min([b for b in ladder if b >= bbox[1] - bbox[0] + 2 * pad] or [Wp], key=int)
+x0 = min(max(int(0.5 * (bbox[0] + bbox[1]) - Wc / 2), 0), Wp - Wc)
+y0 = min(max(int(0.5 * (bbox[2] + bbox[3]) - Hc / 2), 0), Hp - Hc)
+ints = jnp.asarray(np.array(
+    [y0, x0, h if y0 else 0, Hc - h, h if x0 else 0, Wc - h], np.int32))
+print(f"crop: {Hc}x{Wc} at ({y0},{x0})")
+win_c, x0f, y0f, a_crop, mask, o1, o2 = jax.jit(
+    lambda w, ci: warp_pano.crop_window_constants(w, pano, 2, 1.0, 0, (Hc, Wc), ci)
+)(win, ints)
+fc, vgc = warp_pano.make_crop_objective(
+    win_c, pano, 2, 1.0, 0, (Hc, Wc), x0f, y0f, a_crop, mask, o1, o2)
+
+def s_fc(c, i):
+    return fc(d0 + c * 1e-12 + i * 1e-9), None
+
+def s_vgc(c, i):
+    v, g = vgc(d0 + c * 1e-12 + i * 1e-9)
+    return v + jnp.sum(g) * 1e-12, None
+
+def s_votes_crop(c, i):
+    il = warp_pano._accumulate_image(px0 - x0f + c * 1e-12 + i * 1e-9,
+                                     py0 - y0f, win.weights, Hc, Wc, "highest")
+    return jnp.mean(il), None
+
+timeit("crop votes (pallas)  ", s_votes_crop)
+timeit("crop f               ", s_fc)
+timeit("crop value_and_grad  ", s_vgc, reps=8)

@@ -241,3 +241,26 @@ def test_trajectory_class(rng):
     np.testing.assert_allclose(
         spline._np_quat_rotmat(q_eval), spline._np_quat_rotmat(expected), atol=1e-3
     )
+
+
+def test_evaluate_rotmats_matches_aos(rng):
+    """Lane-major evaluate_rotmats == to_matrix(evaluate(...)) (both orders)."""
+    import jax.numpy as jnp
+    from cmax_slam_tpu import lie
+
+    for order in (2, 4):
+        K = 8
+        rv = rng.normal(size=(K, 3)) * 0.5
+        knots = jnp.asarray(
+            np.stack([spline._np_quat_exp(v) for v in rv]), jnp.float32
+        )
+        t = jnp.asarray(rng.uniform(0, (K - order + 1) * 0.1, 64), jnp.float32)
+        q = spline.evaluate(knots, t, 0.0, 0.1, order)
+        R_ref = np.asarray(lie.to_matrix(q))
+        R_soa = spline.evaluate_rotmats(knots, t, 0.0, 0.1, order)
+        for i in range(3):
+            for j in range(3):
+                np.testing.assert_allclose(
+                    np.asarray(R_soa[i][j]), R_ref[:, i, j],
+                    rtol=1e-5, atol=1e-6, err_msg=f"order={order} R[{i}][{j}]",
+                )
