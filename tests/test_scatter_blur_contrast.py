@@ -170,3 +170,40 @@ def test_bilinear_accumulate_chunked_path(rng, monkeypatch):
     )
     sc.bilinear_accumulate._clear_cache()
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense), atol=1e-3)
+
+
+def test_scatter_add_path_matches_matmul_votes(rng):
+    """bilinear_accumulate_scatter (O(N) hardware scatter) == the
+    rank-factorized matmul path, values AND gradients (same floor
+    parametrization and in-bounds rule)."""
+    H, W = 48, 64
+    n = 4000
+    px = jnp.asarray(rng.uniform(-3, W + 3, n), jnp.float32)
+    py = jnp.asarray(rng.uniform(-3, H + 3, n), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.0, 2.0, n), jnp.float32)
+    # include exact-integer coordinates (the zero-subgradient trap)
+    px = px.at[:100].set(jnp.floor(px[:100]))
+
+    a = scatter.bilinear_accumulate(px, py, w, height=H, width=W)
+    b = scatter.bilinear_accumulate_scatter(px, py, w, height=H, width=W)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    tgt = jnp.asarray(rng.normal(size=(H, W)), jnp.float32)
+
+    def loss_mat(px_, py_, w_):
+        return jnp.sum(
+            scatter.bilinear_accumulate(px_, py_, w_, height=H, width=W) * tgt
+        )
+
+    def loss_sca(px_, py_, w_):
+        return jnp.sum(
+            scatter.bilinear_accumulate_scatter(px_, py_, w_, height=H, width=W)
+            * tgt
+        )
+
+    g_mat = jax.grad(loss_mat, argnums=(0, 1, 2))(px, py, w)
+    g_sca = jax.grad(loss_sca, argnums=(0, 1, 2))(px, py, w)
+    for gm, gs, name in zip(g_mat, g_sca, ("dpx", "dpy", "dw")):
+        np.testing.assert_allclose(
+            np.asarray(gm), np.asarray(gs), atol=2e-5, err_msg=name
+        )
