@@ -81,6 +81,8 @@ def main():
 
     ev_per_sec = reps * n_events / dt
     baseline = 100e6
+
+    backend_ms, backend_rt = bench_backend_window()
     print(
         json.dumps(
             {
@@ -88,9 +90,67 @@ def main():
                 "value": round(ev_per_sec, 1),
                 "unit": "events/s",
                 "vs_baseline": round(ev_per_sec / baseline, 4),
+                # Back-end bundle adjustment: warm wall time of one full
+                # 512x1024-pano window solve (FOV-crop path) vs the 100 ms
+                # sliding stride it must keep up with (rt > 1 = faster than
+                # the stream; the reference replays rosbags at rate 1.0).
+                "backend_window_ms": backend_ms,
+                "backend_rt_factor": backend_rt,
             }
         )
     )
+
+
+def bench_backend_window():
+    """Warm per-window wall time of the full back-end solve (device program
+    + host orchestration), on the IJRR-preset geometry (512x1024 pano,
+    0.2 s windows sliding by 0.1 s)."""
+    import numpy as np
+
+    from cmax_slam_tpu.calib import CameraCalibration
+    from cmax_slam_tpu.config import (
+        BackendConfig, FrontendConfig, PanoMapOptions, SlidingWindowOptions,
+        SystemConfig, TrajectoryOptions, WarpOptions,
+    )
+    from cmax_slam_tpu.io import synthetic
+    from cmax_slam_tpu.system import CMaxSLAM
+
+    W, H, FXY = 240, 180, 180.0
+    rng = np.random.default_rng(7)
+    n, duration = 250000, 0.62
+    ev = synthetic.rotating_camera_events(
+        rng, n, duration, np.array([0.7, -1.1, 1.6]), FXY, FXY, W / 2, H / 2,
+        W, H, n_points=400,
+    )
+    calib = CameraCalibration(
+        width=W, height=H,
+        K=np.array([[FXY, 0, W / 2], [0, FXY, H / 2], [0, 0, 1.0]]),
+    )
+    cfg = SystemConfig(
+        frontend=FrontendConfig(
+            num_events_per_packet=10000, dt_ang_vel=0.01,
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100),
+        ),
+        backend=BackendConfig(
+            sliding_window=SlidingWindowOptions(0.2, 0.1),
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100),
+            trajectory=TrajectoryOptions(dt_knots=0.05, spline_degree=1),
+            pano_map=PanoMapOptions(
+                pano_height=512, pano_width=1024, backend_min_ev_rate=10000,
+                max_update_times=200,
+            ),
+        ),
+    )
+    slam = CMaxSLAM(calib, cfg)
+    for i in range(0, n, 50000):
+        slam.push_events(ev.xs[i:i + 50000], ev.ys[i:i + 50000],
+                         ev.ts[i:i + 50000], ev.pols[i:i + 50000])
+    solve = slam.metrics.timers.get("backend.solve")
+    if solve is None or solve.count == 0:
+        return None, None
+    ms = solve.minimum * 1e3
+    stride_ms = cfg.backend.sliding_window.sliding_window_stride * 1e3
+    return round(ms, 1), round(stride_ms / ms, 3)
 
 
 if __name__ == "__main__":

@@ -63,7 +63,7 @@ def _sanitize(px, py, weights, height, width):
 
 
 def _fwd_kernel(px_ref, py_ref, w_ref, out_ref, *, height, width, acc_dtype,
-                mxu_precision):
+                mxu_precision, carry_acc):
     k = pl.program_id(0)
 
     @pl.when(k == 0)
@@ -74,7 +74,7 @@ def _fwd_kernel(px_ref, py_ref, w_ref, out_ref, *, height, width, acc_dtype,
     col_x = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1).astype(acc_dtype)
     col_y = jax.lax.broadcasted_iota(jnp.int32, (1, height), 1).astype(acc_dtype)
 
-    def row(r, _):
+    def votes(r):
         px, py, w = _sanitize(
             px_ref[r, :], py_ref[r, :], w_ref[r, :], height, width
         )
@@ -84,17 +84,28 @@ def _fwd_kernel(px_ref, py_ref, w_ref, out_ref, *, height, width, acc_dtype,
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(px.astype(acc_dtype)[:, None] - col_x))
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(py.astype(acc_dtype)[:, None] - col_y))
         wy = wy * w.astype(acc_dtype)[:, None]
-        # Accumulate straight into the output ref: a loop-carried accumulator
-        # would keep a third (H, W) f32 buffer live (out_ref + carry + dot
-        # result), which blows the 16 MB VMEM budget on big pano crops.
-        out_ref[:] += jax.lax.dot_general(
+        return jax.lax.dot_general(
             wy, wx, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu_precision,
         )
-        return 0
 
-    jax.lax.fori_loop(0, ROWS, row, 0)
+    if carry_acc:
+        # Small accumulators: loop-carried partial sum (one out_ref update
+        # per block — serializing 8 read-modify-writes of out_ref halves
+        # throughput on the local-IWE path, measured 191 -> 97 M ev/s).
+        out_ref[:] += jax.lax.fori_loop(
+            0, ROWS, lambda r, acc: acc + votes(r), jnp.zeros_like(out_ref)
+        )
+    else:
+        # Big pano crops: accumulate straight into the output ref — the
+        # carried partial sum would keep a third (H, W) f32 buffer live and
+        # blow the 16 MB VMEM budget.
+        def row(r, _):
+            out_ref[:] += votes(r)
+            return 0
+
+        jax.lax.fori_loop(0, ROWS, row, 0)
 
 
 def _bwd_kernel(px_ref, py_ref, w_ref, g_ref, dpx_ref, dpy_ref, dw_ref,
@@ -176,6 +187,7 @@ def _fwd_impl(px, py, weights, height, width, precision, lane):
     kernel = functools.partial(
         _fwd_kernel, height=height, width=width, acc_dtype=acc_dtype,
         mxu_precision=mxu,
+        carry_acc=vmem_fits(height, width, lane, with_carry=True),
     )
     return pl.pallas_call(
         kernel,
@@ -247,16 +259,19 @@ bilinear_accumulate_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def vmem_fits(height: int, width: int, lane: int = LANE,
-              budget_bytes: int = 15 * 1024 * 1024) -> bool:
+              budget_bytes: int = 15 * 1024 * 1024,
+              with_carry: bool = False) -> bool:
     """Whether the FORWARD kernel's live VMEM fits the 16 MB/core budget:
-    out_ref + the dot result (2 accumulator copies) + one wx/wy hat pair.
+    out_ref + the dot result (2 accumulator copies; 3 with the loop-carried
+    partial sum of the fast small-image variant) + one wx/wy hat pair.
     Coefficients validated against Mosaic's scoped-vmem accounting on v5e
-    (a 1024x1280 crop at lane 128 measured 17.9 MB under the old 3-copy
-    forward; 2-copy at lane 256 compiles)."""
+    (a 1024x1280 crop at lane 128 measured 17.9 MB with the carry; the
+    2-copy direct-accumulate variant at lane 256 compiles)."""
     acc = height * ((width + 127) // 128 * 128) * 4
     pair = (height + width) * 4
     misc = 1 * 1024 * 1024  # event blocks (double-buffered), semaphores, slack
-    return 2 * acc + lane * pair + misc < budget_bytes
+    copies = 3 if with_carry else 2
+    return copies * acc + lane * pair + misc < budget_bytes
 
 
 def pick_bwd_lane(height: int, width: int,
