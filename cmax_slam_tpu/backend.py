@@ -707,13 +707,24 @@ class Backend:
         if self.cfg.draw_fov and self.traj is not None and self.traj.size >= self.order:
             img = np.stack([img] * 3, axis=-1)
             t_plot = min(self.t_win_end - 1e-6, self.traj.max_time() - 1e-9)
-            q = self.traj.evaluate(t_plot)[0].astype(np.float32)
-            mask = np.asarray(
-                warp_pano.fov_mask(
-                    jnp.asarray(q[None]), self.lut_dev, self.pano, radius=0
-                )
-            )
-            img[mask > 0] = np.array([255, 0, 0], np.uint8)
+            q = self.traj.evaluate(t_plot)[0]
+            # Sensor-FOV *outline*: project only the border pixels' bearings
+            # (drawSensorFOV, event_pano_warper.cpp:56-79) — not the filled
+            # footprint. Host numpy; runs only on visualization requests.
+            W, H = self.cam_width, self.cam_height
+            border = np.concatenate([
+                np.arange(W),                       # y = 0
+                (H - 1) * W + np.arange(W),         # y = H-1
+                np.arange(H) * W,                   # x = 0
+                np.arange(H) * W + (W - 1),         # x = W-1
+            ])
+            rays = self.lut[border] @ spline._np_quat_rotmat(q).T
+            rho = np.linalg.norm(rays, axis=-1)
+            px = self.pano.cx + np.arctan2(rays[:, 0], rays[:, 2]) * self.pano.fx
+            py = self.pano.cy + np.arcsin(np.clip(rays[:, 1] / rho, -1, 1)) * self.pano.fy
+            ix = np.clip(np.round(px).astype(int), 0, self.pano.width - 1)
+            iy = np.clip(np.round(py).astype(int), 0, self.pano.height - 1)
+            img[iy, ix] = np.array([255, 0, 0], np.uint8)
         return img
 
     def restore(self, d) -> None:

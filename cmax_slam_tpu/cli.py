@@ -39,9 +39,12 @@ PRESETS = {
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="CMax-SLAM (TPU-native)")
-    p.add_argument("--events", required=True, help="event file (.txt/.npz/.h5)")
-    p.add_argument("--calib", required=True,
-                   help="calibration (.yaml ROS camera_info or .txt 'fx fy cx cy d...')")
+    p.add_argument("--events", required=True,
+                   help="event file (.txt/.zip/.npz/.h5/.bag)")
+    p.add_argument("--calib", default=None,
+                   help="calibration (.yaml ROS camera_info or .txt 'fx fy cx "
+                        "cy d...'); optional for .bag input carrying a "
+                        "sensor_msgs/CameraInfo topic")
     p.add_argument("--width", type=int, default=None,
                    help="sensor width (required for .txt calib)")
     p.add_argument("--height", type=int, default=None)
@@ -56,7 +59,12 @@ def parse_args(argv=None):
                    help="resume from a checkpoint written by a previous run")
     p.add_argument("--save-maps-every", type=int, default=0, metavar="K",
                    help="dump pano_map_NNNN.png every K back-end windows "
-                        "(the reference's continuous /pano_map publishing)")
+                        "(the reference's continuous /pano_map publishing; "
+                        "implied by backend.show_iwe)")
+    p.add_argument("--save-iwe-every", type=int, default=0, metavar="K",
+                   help="dump local_iwe_NNNNN.png (zero-motion | compensated)"
+                        " every K front-end packets (the reference's "
+                        "/local_iwe publishing; implied by frontend.show_iwe)")
     p.add_argument("-v", "--verbose", type=int, default=0, metavar="N",
                    help="glog-style verbosity: 0=warn, 1=info, 2=debug")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
@@ -82,6 +90,18 @@ def apply_overrides(cfg, overrides):
 
 
 def load_calibration(args) -> CameraCalibration:
+    if args.calib is None:
+        # Auto-calibration from the bag's CameraInfo topic, like the
+        # reference's camera_info subscriber (src/cmax_slam.cpp:122-145).
+        if not args.events.endswith(".bag"):
+            raise SystemExit("--calib is required unless --events is a .bag "
+                             "with a sensor_msgs/CameraInfo topic")
+        from .io.rosbag import read_rosbag_camera_info
+
+        try:
+            return read_rosbag_camera_info(args.events)
+        except ValueError as e:
+            raise SystemExit(f"{e}; pass --calib") from None
     if args.calib.endswith((".yaml", ".yml")):
         return CameraCalibration.from_yaml(args.calib)
     if args.width is None or args.height is None:
@@ -109,19 +129,38 @@ def main(argv=None) -> int:
         slam.load_checkpoint(args.resume)
         print(f"[cmax-slam-tpu] resumed from {args.resume}", file=sys.stderr)
 
+    # show_iwe config flags imply continuous image output (the reference
+    # publishes /local_iwe and /pano_map topics when show_local_iwe /
+    # show_pano_map are set).
+    iwe_every = args.save_iwe_every or (1 if cfg.frontend.show_iwe else 0)
+    maps_every = args.save_maps_every or (1 if cfg.backend.show_iwe else 0)
+
     t_wall = time.perf_counter()
     next_ckpt = args.checkpoint_every
     maps_done = 0
+    iwe_done = 0
     for chunk in stream_chunks(xs, ys, ts, ps, args.chunk_size):
-        slam.push_events(*chunk)
+        ests = slam.push_events(*chunk)
+        if iwe_every > 0:
+            for est in ests:
+                iwe_done += 1
+                if (iwe_done - 1) % iwe_every or est.num_events == 0:
+                    continue
+                img = slam.frontend.render_iwe_pair(*est.span, est.omega)
+                if img is not None:
+                    write_png(
+                        os.path.join(args.out_dir,
+                                     f"local_iwe_{iwe_done:05d}.png"),
+                        img.astype(np.uint8),
+                    )
         if args.checkpoint_every > 0 and len(chunk[2]) and (
             chunk[2][-1] - ts[0] >= next_ckpt
         ):
             slam.save_checkpoint(os.path.join(args.out_dir, "checkpoint.npz"))
             next_ckpt += args.checkpoint_every
         if (
-            args.save_maps_every > 0 and slam.backend is not None
-            and len(slam.backend.results) >= maps_done + args.save_maps_every
+            maps_every > 0 and slam.backend is not None
+            and len(slam.backend.results) >= maps_done + maps_every
         ):
             maps_done = len(slam.backend.results)
             write_png(

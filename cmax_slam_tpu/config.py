@@ -151,7 +151,9 @@ def ecrot_synth_config() -> SystemConfig:
         ),
         backend=BackendConfig(
             sliding_window=SlidingWindowOptions(0.2, 0.1),
-            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100, event_sample_rate=2),
+            # backend_event_sample_rate=1 like the launch file (decimation is
+            # unnecessary since the O(N) scatter vote path).
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100, event_sample_rate=1),
             trajectory=TrajectoryOptions(dt_knots=0.05, spline_degree=1),
             pano_map=PanoMapOptions(
                 pano_height=512, pano_width=1024, max_update_times=200,

@@ -40,6 +40,7 @@ class AngVelEstimate:
     cost: float
     iters: int
     num_events: int
+    span: Tuple[int, int] = (0, 0)  # absolute event-store indices [beg, end)
 
 
 class Frontend:
@@ -215,7 +216,7 @@ class Frontend:
             # Degenerate packet guard (ang_vel_estimator.cpp:108-114)
             self._omega_dev = jnp.zeros(3, jnp.float32)
             est = AngVelEstimate(t=t_packet, omega=np.zeros(3), cost=0.0,
-                                 iters=0, num_events=n)
+                                 iters=0, num_events=n, span=(beg, end))
             self.estimates.append(est)
             return est
 
@@ -245,6 +246,7 @@ class Frontend:
         self.metrics.count("frontend.events", n)
         est = AngVelEstimate(
             t=t_packet, omega=omega, cost=cost, iters=iters, num_events=n,
+            span=(beg, end),
         )
         self.estimates.append(est)
         logger.debug("[front-end] packet t=%.4f n=%d dispatched", t_packet, n)
@@ -258,6 +260,8 @@ class Frontend:
 
         xs, ys, ts, _ = self.store.slice_abs(beg, end)
         n = len(ts)
+        if n == 0:
+            return None  # packet already retired from the store
         S = self.packet_size
         pad = S - n
         valid = np.zeros(S, bool)

@@ -85,8 +85,9 @@ class EventStore:
         return float(self._ts[-1]) if len(self._ts) else None
 
 
-def read_events_txt(path: str, max_events: Optional[int] = None):
-    """Read the IJRR/ECD plain-text event format: lines of 't x y p'."""
+def read_events_txt(path, max_events: Optional[int] = None):
+    """Read the IJRR/ECD plain-text event format: lines of 't x y p'.
+    ``path`` may be a filename or an open (binary) file object."""
     data = np.loadtxt(path, max_rows=max_events)
     ts = data[:, 0].astype(np.float64)
     xs = data[:, 1].astype(np.int32)
@@ -120,15 +121,34 @@ def read_events_hdf5(path: str, group: str = "events"):
     return xs, ys, ts, ps
 
 
+def read_events_zip(path: str, max_events: Optional[int] = None):
+    """Read the first .txt member of a zip archive (the ECD/IJRR datasets
+    distribute events.txt zipped; docs/test_datasets.md)."""
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        names = [n for n in z.namelist() if n.lower().endswith(".txt")]
+        if not names:
+            raise ValueError(f"no .txt member inside {path}")
+        with z.open(names[0]) as f:
+            return read_events_txt(f, max_events)
+
+
 def load_events(path: str, max_events: Optional[int] = None):
-    """Dispatch on extension."""
+    """Dispatch on extension (.txt/.csv, .zip, .npz/.npy, .h5, .bag)."""
     ext = os.path.splitext(path)[1].lower()
-    if ext in (".txt", ".csv", ".zip"):
+    if ext in (".txt", ".csv"):
         return read_events_txt(path, max_events)
+    if ext == ".zip":
+        return read_events_zip(path, max_events)
     if ext in (".npz", ".npy"):
         out = read_events_npy(path)
     elif ext in (".h5", ".hdf5"):
         out = read_events_hdf5(path)
+    elif ext == ".bag":
+        from .rosbag import read_rosbag_events
+
+        out = read_rosbag_events(path)
     else:
         raise ValueError(f"unknown event file format: {path}")
     if max_events is not None:

@@ -94,3 +94,102 @@ def test_cli_missing_width(dataset):
     with pytest.raises(SystemExit, match="width"):
         cli.main(["--events", epath, "--calib", cpath,
                   "--out-dir", os.path.join(d, "outy")])
+
+
+def test_cli_rosbag_autocalib_and_iwe_dump(dataset, tmp_path):
+    """--events foo.bag with no --calib: events + CameraInfo come from the
+    bag (the reference's primary data path, launch/ijrr.launch), and
+    --save-iwe-every dumps local IWE pairs like the /local_iwe topic."""
+    from test_io import _camera_info_msg, _event_array_msg, _write_test_bag
+
+    rng = np.random.default_rng(6)
+    ev = synthetic.rotating_camera_events(
+        rng, 12000, 0.15, np.array([0.9, -1.4, 2.0]),
+        FX, FY, W / 2, H / 2, W, H, n_points=250,
+    )
+    bag = str(tmp_path / "stream.bag")
+    msgs = [(1, _camera_info_msg(W, H, FX, FY, W / 2, H / 2, d=[0] * 5))]
+    step = 3000
+    for i in range(0, len(ev.ts), step):
+        msgs.append((0, _event_array_msg(
+            ev.xs[i:i+step], ev.ys[i:i+step], ev.ts[i:i+step],
+            ev.pols[i:i+step], width=W, height=H,
+        )))
+    _write_test_bag(
+        bag, msgs,
+        conns=[("/dvs/events", "dvs_msgs/EventArray"),
+               ("/dvs/camera_info", "sensor_msgs/CameraInfo")],
+    )
+    out = os.path.join(str(tmp_path), "out")
+    rc = cli.main([
+        "--events", bag, "--out-dir", out, "--no-backend",
+        "--save-iwe-every", "2", *SETTINGS,
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "angular_velocity.txt"))
+    iwes = [f for f in os.listdir(out) if f.startswith("local_iwe_")]
+    assert len(iwes) >= 2, sorted(os.listdir(out))
+    av = np.loadtxt(os.path.join(out, "angular_velocity.txt"))
+    errs = np.linalg.norm(np.atleast_2d(av)[:, 1:] - np.array([0.9, -1.4, 2.0]), axis=1)
+    assert np.median(errs) < 0.2
+
+
+def test_compare_to_reference_tool(tmp_path):
+    """tools/compare_to_reference.py: gauge-aligned self-comparison of a
+    trajectory against a gauge-rotated copy is ~0; a corrupted trajectory
+    trips the --max-rms-deg gate."""
+    import importlib.util
+    import os as _os
+
+    from cmax_slam_tpu import spline
+    from cmax_slam_tpu.utils import evaluate
+
+    spec = importlib.util.spec_from_file_location(
+        "compare_to_reference",
+        _os.path.join(_os.path.dirname(__file__), "..", "tools",
+                      "compare_to_reference.py"),
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    traj = spline.Trajectory(0.0, 0.05, order=2)
+    omega = np.array([0.4, -0.8, 1.1])
+    qs = np.stack([spline._np_quat_exp(omega * (0.05 * i)) for i in range(12)])
+    traj.push_ctrl_poses(qs)
+    p_ref = str(tmp_path / "ref.txt")
+    evaluate.write_tum_trajectory(p_ref, traj, dt_sample=0.02)
+
+    # ours: same trajectory under a different global gauge
+    g = spline._np_quat_exp(np.array([0.3, 0.5, -0.2]))
+    traj2 = spline.Trajectory(0.0, 0.05, order=2)
+    traj2.push_ctrl_poses(np.stack([spline._np_quat_mul(g, q) for q in qs]))
+    p_ours = str(tmp_path / "ours.txt")
+    evaluate.write_tum_trajectory(p_ours, traj2, dt_sample=0.02)
+
+    # angular velocities: identical logs
+    t = np.arange(20) * 0.01
+    av = np.column_stack([t, np.tile(omega, (20, 1))])
+    p_av = str(tmp_path / "av.txt")
+    np.savetxt(p_av, av)
+
+    rc = tool.main([
+        "--ours-traj", p_ours, "--ref-traj", p_ref,
+        "--ours-av", p_av, "--ref-av", p_av,
+        "--max-rms-deg", "0.01", "--max-av-median", "1e-9",
+    ])
+    assert rc == 0
+
+    # corrupted trajectory fails the gate
+    traj3 = spline.Trajectory(0.0, 0.05, order=2)
+    qs_bad = qs.copy()
+    qs_bad[6:] = np.stack([
+        spline._np_quat_mul(spline._np_quat_exp(np.array([0.05, 0, 0])), q)
+        for q in qs_bad[6:]
+    ])
+    traj3.push_ctrl_poses(qs_bad)
+    p_bad = str(tmp_path / "bad.txt")
+    evaluate.write_tum_trajectory(p_bad, traj3, dt_sample=0.02)
+    rc = tool.main([
+        "--ours-traj", p_bad, "--ref-traj", p_ref, "--max-rms-deg", "0.5",
+    ])
+    assert rc == 1

@@ -72,7 +72,7 @@ def slam_run():
             warp=WarpOptions(blur_sigma=1.0, event_batch_size=100),
             trajectory=TrajectoryOptions(dt_knots=0.05, spline_degree=1),
             pano_map=PanoMapOptions(
-                pano_height=128, pano_width=256, backend_min_ev_rate=10000,
+                pano_height=256, pano_width=512, backend_min_ev_rate=10000,
                 max_update_times=200,
             ),
         ),
@@ -94,8 +94,16 @@ def test_frontend_tracks_omega(slam_run):
     slam, rot_fn, omega_fn, ev = slam_run
     log = slam.ang_vel_log
     assert len(log) >= 40
-    errs = [np.linalg.norm(row[1:] - omega_fn(row[0])) for row in log]
-    assert np.median(errs) < 0.12, f"median omega err {np.median(errs)}"
+
+    def omega_window_avg(t, half=0.01, n=9):
+        # A CMax packet estimates the MEAN angular velocity over its ~2*half
+        # span; compare against that, not the instantaneous omega(t).
+        return np.mean([omega_fn(tt) for tt in np.linspace(t - half, t + half, n)],
+                       axis=0)
+
+    errs = [np.linalg.norm(row[1:] - omega_window_avg(row[0])) for row in log]
+    assert np.median(errs) < 0.08, f"median omega err {np.median(errs)}"
+    assert np.percentile(errs, 90) < 0.25, f"p90 omega err {np.percentile(errs, 90)}"
 
 
 def test_backend_windows_ran(slam_run):
@@ -117,14 +125,15 @@ def test_backend_trajectory_rms(slam_run):
     t1 = traj.max_time() - 1e-6
     times = np.linspace(t0, t1, 60)
     q_est = traj.evaluate(times)
-    R_est = np.stack([spline._np_quat_rotmat(q) for q in q_est])
-    R_gt = rot_fn(times)
-    R_align = R_gt[0] @ R_est[0].T
-    errs = np.array([
-        _angle_err_deg(R_gt[i], R_align @ R_est[i]) for i in range(len(times))
-    ])
-    rms = float(np.sqrt(np.mean(errs**2)))
-    assert rms < 3.0, f"trajectory RMS {rms} deg; errs={np.round(errs,2)}"
+    # Rotation-only SLAM has a global gauge freedom; evaluate with the
+    # least-squares gauge alignment (like the TPU example checks), not
+    # anchored at the first — least constrained — sample.
+    from cmax_slam_tpu import lie
+    from cmax_slam_tpu.utils.evaluate import rotation_rms_deg
+
+    q_gt = np.asarray(lie.from_matrix(rot_fn(times)))
+    rms, errs = rotation_rms_deg(times, q_gt, q_est, "global")
+    assert rms < 0.25, f"trajectory RMS {rms} deg; errs={np.round(errs,2)}"
 
 
 def test_global_map_accumulates(slam_run):

@@ -17,10 +17,40 @@ from cmax_slam_tpu.utils.evaluate import rotation_rms_deg
 from test_e2e import smooth_rot_fn, W, H, FX, FY
 
 
+def smooth_rot_fn_noramp(duration, dt_int=1e-3):
+    """Full-amplitude smooth profile from t=0: measures steady-state cubic
+    BA accuracy, not the near-still cold-start transient (during which the
+    first window's frozen knots lock in integrator error — same behavior as
+    the reference's first-window freeze, pose_graph_optimizer.cpp:283-288)."""
+    from cmax_slam_tpu import spline as sp
+
+    steps = int(duration / dt_int) + 2
+    ts = np.arange(steps) * dt_int
+
+    def omega(t):
+        return np.array(
+            [1.2 * np.sin(2 * np.pi * 0.8 * t + 0.4),
+             -1.8 * np.cos(2 * np.pi * 0.5 * t),
+             2.2 * np.sin(2 * np.pi * 0.3 * t + 0.5)]
+        )
+
+    qs = [np.array([1.0, 0, 0, 0])]
+    for i in range(1, steps):
+        w_mid = omega(ts[i - 1] + dt_int / 2)
+        qs.append(sp._np_quat_mul(qs[-1], sp._np_quat_exp(w_mid * dt_int)))
+    mats = np.stack([sp._np_quat_rotmat(q) for q in qs])
+
+    def rot_fn(t):
+        idx = np.clip((np.atleast_1d(t) / dt_int).astype(int), 0, steps - 1)
+        return mats[idx]
+
+    return rot_fn, omega
+
+
 def test_cubic_backend_rms():
     rng = np.random.default_rng(11)
     duration = 0.8
-    rot_fn, omega_fn = smooth_rot_fn(duration)
+    rot_fn, omega_fn = smooth_rot_fn_noramp(duration)
     n = 80000
     ev = synthetic.rotating_camera_events(
         rng, n, duration, np.zeros(3), FX, FY, W / 2, H / 2, W, H,
@@ -40,7 +70,7 @@ def test_cubic_backend_rms():
             warp=WarpOptions(blur_sigma=1.0, event_batch_size=100),
             trajectory=TrajectoryOptions(dt_knots=0.05, spline_degree=3),
             pano_map=PanoMapOptions(
-                pano_height=128, pano_width=256, backend_min_ev_rate=10000,
+                pano_height=256, pano_width=512, backend_min_ev_rate=10000,
                 max_update_times=200,
             ),
         ),
@@ -65,8 +95,8 @@ def test_cubic_backend_rms():
         spline.from_matrix_np(R) if hasattr(spline, "from_matrix_np") else _q(R)
         for R in R_gt
     ])
-    rms, errs = rotation_rms_deg(times, q_gt, q_est, alignment="first")
-    assert rms < 3.0, f"cubic trajectory RMS {rms} deg; errs={np.round(errs,2)}"
+    rms, errs = rotation_rms_deg(times, q_gt, q_est, alignment="global")
+    assert rms < 0.8, f"cubic trajectory RMS {rms} deg; errs={np.round(errs,2)}"
 
 
 def _q(R):

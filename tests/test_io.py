@@ -62,8 +62,11 @@ def test_native_trigger_scan_matches_python():
     np.testing.assert_array_equal(trig, out_py)
 
 
-def _write_test_bag(path, msgs, compression="none"):
-    """Serialize a minimal v2.0 bag with one EventArray connection."""
+def _write_test_bag(path, msgs, compression="none", conns=None):
+    """Serialize a minimal v2.0 bag. ``msgs`` entries are raw payloads for
+    connection 0 (the default /dvs/events EventArray) or (conn_id, raw)
+    tuples; ``conns`` optionally overrides the connection table as a list of
+    (topic, msg_type)."""
     import bz2 as _bz2
 
     def header(fields):
@@ -77,15 +80,21 @@ def _write_test_bag(path, msgs, compression="none"):
         h = header(fields)
         return struct.pack("<I", len(h)) + h + struct.pack("<I", len(data)) + data
 
-    conn_rec = record(
-        {b"op": b"\x07", b"conn": struct.pack("<I", 0), b"topic": b"/dvs/events"},
-        header({b"type": b"dvs_msgs/EventArray", b"md5sum": b"x",
-                b"message_definition": b""}),
-    )
+    if conns is None:
+        conns = [("/dvs/events", "dvs_msgs/EventArray")]
+    conn_rec = b""
+    for cid, (topic, mtype) in enumerate(conns):
+        conn_rec += record(
+            {b"op": b"\x07", b"conn": struct.pack("<I", cid),
+             b"topic": topic.encode()},
+            header({b"type": mtype.encode(), b"md5sum": b"x",
+                    b"message_definition": b""}),
+        )
     msg_recs = b""
-    for raw in msgs:
+    for m in msgs:
+        cid, raw = m if isinstance(m, tuple) else (0, m)
         msg_recs += record(
-            {b"op": b"\x02", b"conn": struct.pack("<I", 0),
+            {b"op": b"\x02", b"conn": struct.pack("<I", cid),
              b"time": struct.pack("<II", 0, 0)},
             raw,
         )
@@ -109,6 +118,25 @@ def _write_test_bag(path, msgs, compression="none"):
         f.write(b"#ROSBAG V2.0\n")
         f.write(bag_header)
         f.write(chunk_rec)
+
+
+def _camera_info_msg(width, height, fx, fy, cx, cy, d=()):
+    """Serialize sensor_msgs/CameraInfo (fields decode_camera_info reads)."""
+    out = struct.pack("<I", 0) + struct.pack("<II", 0, 0)  # header
+    out += struct.pack("<I", 0)  # frame_id ""
+    out += struct.pack("<II", height, width)
+    model = b"plumb_bob"
+    out += struct.pack("<I", len(model)) + model
+    d = np.asarray(d, np.float64)
+    out += struct.pack("<I", len(d)) + d.tobytes()
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    out += K.tobytes()
+    out += np.eye(3).tobytes()
+    P = np.zeros((3, 4))
+    P[:3, :3] = K
+    out += P.tobytes()
+    out += struct.pack("<II", 0, 0) + struct.pack("<IIII", 0, 0, 0, 0) + b"\x00"
+    return out
 
 
 def _event_array_msg(xs, ys, ts, ps, width=240, height=180):
@@ -181,3 +209,33 @@ def test_tum_io(tmp_path):
     times, quats = evaluate.read_tum_trajectory(p)
     assert len(times) >= 5
     np.testing.assert_allclose(np.linalg.norm(quats, axis=1), 1.0, atol=1e-6)
+
+
+def test_rosbag_camera_info_roundtrip(tmp_path):
+    p = str(tmp_path / "cam.bag")
+    _write_test_bag(
+        p, [(0, _camera_info_msg(240, 180, 190.0, 191.0, 120.5, 90.5,
+                                 d=[-0.3, 0.1, 0, 0, 0]))],
+        conns=[("/dvs/camera_info", "sensor_msgs/CameraInfo")],
+    )
+    calib = rosbag.read_rosbag_camera_info(p)
+    assert (calib.width, calib.height) == (240, 180)
+    np.testing.assert_allclose(calib.K[0, 0], 190.0)
+    np.testing.assert_allclose(calib.K[1, 2], 90.5)
+    np.testing.assert_allclose(calib.D[0], -0.3)
+
+
+def test_load_events_zip(tmp_path):
+    import zipfile
+
+    txt = tmp_path / "events.txt"
+    with open(txt, "w") as f:
+        for i in range(50):
+            f.write(f"{i*0.001:.6f} {i%20} {i%15} {i%2}\n")
+    zp = str(tmp_path / "events.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.write(txt, "events.txt")
+    xs, ys, ts, ps = ev_io.load_events(zp, max_events=30)
+    assert len(xs) == 30
+    np.testing.assert_allclose(ts[:3], [0.0, 0.001, 0.002])
+    assert set(np.unique(ps)) <= {-1, 1}
