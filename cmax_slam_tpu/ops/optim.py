@@ -143,7 +143,9 @@ def _line_search(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals):
     return a_out, f_out, g_out, bracketed
 
 
-class _CGState(NamedTuple):
+class CGState(NamedTuple):
+    """Resumable per-solve CG state (a pytree; stacks under vmap)."""
+
     x: jnp.ndarray
     f: jnp.ndarray
     f_prev: jnp.ndarray
@@ -152,40 +154,52 @@ class _CGState(NamedTuple):
     alpha0: jnp.ndarray
     it: jnp.ndarray
     status: jnp.ndarray
+    f0: jnp.ndarray
 
 
-def minimize_fr_cg(
+_CGState = CGState  # internal alias (pre-resumable name)
+
+
+def cg_init(
+    value_and_grad_fn: Callable, x0: jnp.ndarray, initial_step: float = 0.1
+) -> CGState:
+    """Evaluate f/g at x0 and build the initial CG state."""
+    dtype = x0.dtype
+    f0, g0 = value_and_grad_fn(x0)
+    f0 = f0.astype(dtype)
+    g0 = g0.astype(dtype)
+    return CGState(
+        x=x0,
+        f=f0,
+        f_prev=jnp.full_like(f0, jnp.inf),
+        g=g0,
+        d=-g0,
+        alpha0=jnp.asarray(initial_step, dtype),
+        it=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(RUNNING, jnp.int32),
+        f0=f0,
+    )
+
+
+def make_cg_body(
     value_and_grad_fn: Callable,
-    x0: jnp.ndarray,
     f_fn: Callable | None = None,
     *,
-    max_line_searches: int = 50,
-    initial_step: float = 0.1,
+    dim: int,
     line_search_tol: float = 0.05,
     grad_tol: float = 1e-3,
     fun_tol: float = 1e-4,
     max_fevals_per_linesearch: int = 16,
-) -> CGResult:
-    """Minimize a smooth function with Fletcher-Reeves nonlinear CG.
+) -> Callable:
+    """One Fletcher-Reeves line-search iteration: CGState -> CGState.
 
-    value_and_grad_fn: x -> (f, g). f_fn: x -> f (cheaper forward-only path
-    used during bracketing; defaults to value_and_grad_fn's value).
-    """
+    The returned body performs the work unconditionally; callers gate it
+    (while_loop cond, lax.cond, or round-based fori_loop with masking)."""
     if f_fn is None:
         f_fn = lambda x: value_and_grad_fn(x)[0]
-
-    dim = x0.shape[-1] if x0.ndim else 1
     restart_every = max(dim, 2)
-    dtype = x0.dtype
 
-    f0, g0 = value_and_grad_fn(x0)
-    f0 = f0.astype(dtype)
-    g0 = g0.astype(dtype)
-
-    def cond(s: _CGState):
-        return (s.status == RUNNING) & (s.it < max_line_searches)
-
-    def body(s: _CGState):
+    def body(s: CGState) -> CGState:
         dnorm = jnp.linalg.norm(s.d)
         u = s.d / jnp.where(dnorm == 0, 1.0, dnorm)
         descent = jnp.vdot(s.g, u) < 0
@@ -217,7 +231,7 @@ def minimize_fr_cg(
         d_new = jnp.where(restart, -g_new, -g_new + beta * (u * dnorm))
 
         alpha0_new = jnp.where(ok, jnp.clip(2.0 * alpha, 1e-6, 1e3), s.alpha0)
-        return _CGState(
+        return CGState(
             x=jnp.where(ok, x_new, s.x),
             f=jnp.where(ok, f_new, s.f),
             f_prev=s.f,
@@ -226,18 +240,74 @@ def minimize_fr_cg(
             alpha0=alpha0_new,
             it=it_new,
             status=status,
+            f0=s.f0,
         )
 
-    init = _CGState(
-        x=x0,
-        f=f0,
-        f_prev=jnp.full_like(f0, jnp.inf),
-        g=g0,
-        d=-g0,
-        alpha0=jnp.asarray(initial_step, f0.dtype),
-        it=jnp.asarray(0, jnp.int32),
-        status=jnp.asarray(RUNNING, jnp.int32),
+    return body
+
+
+def cg_run_rounds(
+    body: Callable, state: CGState, num_iters: int,
+    max_total_iters: int | None = None,
+) -> CGState:
+    """Advance a CG state by up to ``num_iters`` line searches.
+
+    Unlike the while_loop in minimize_fr_cg, this uses a fixed-trip fori_loop
+    with a masked update, so it stays a constant-shape program under vmap —
+    the building block for compacted batch solving (parallel/batched.py):
+    run a round, drop converged lanes on the host, re-pack, repeat.
+    ``max_total_iters`` enforces the overall line-search budget (GSL's hard
+    cap) regardless of how rounds divide it."""
+
+    def step(_, s: CGState) -> CGState:
+        s_new = body(s)
+        keep = s.status == RUNNING
+        if max_total_iters is not None:
+            keep = keep & (s.it < max_total_iters)
+        return jax.tree_util.tree_map(
+            lambda new, old: jnp.where(keep, new, old), s_new, s
+        )
+
+    return jax.lax.fori_loop(0, num_iters, step, state)
+
+
+def cg_finalize(state: CGState, max_line_searches: int) -> CGResult:
+    status = jnp.where(
+        (state.status == RUNNING) & (state.it >= max_line_searches),
+        MAX_ITERS, state.status,
     )
+    return CGResult(x=state.x, fun=state.f, iters=state.it, status=status,
+                    f0=state.f0)
+
+
+def minimize_fr_cg(
+    value_and_grad_fn: Callable,
+    x0: jnp.ndarray,
+    f_fn: Callable | None = None,
+    *,
+    max_line_searches: int = 50,
+    initial_step: float = 0.1,
+    line_search_tol: float = 0.05,
+    grad_tol: float = 1e-3,
+    fun_tol: float = 1e-4,
+    max_fevals_per_linesearch: int = 16,
+) -> CGResult:
+    """Minimize a smooth function with Fletcher-Reeves nonlinear CG.
+
+    value_and_grad_fn: x -> (f, g). f_fn: x -> f (cheaper forward-only path
+    used during bracketing; defaults to value_and_grad_fn's value).
+    """
+    dim = x0.shape[-1] if x0.ndim else 1
+    body = make_cg_body(
+        value_and_grad_fn, f_fn, dim=dim,
+        line_search_tol=line_search_tol, grad_tol=grad_tol, fun_tol=fun_tol,
+        max_fevals_per_linesearch=max_fevals_per_linesearch,
+    )
+
+    def cond(s: CGState):
+        return (s.status == RUNNING) & (s.it < max_line_searches)
+
+    init = cg_init(value_and_grad_fn, x0, initial_step)
     out = jax.lax.while_loop(cond, body, init)
     status = jnp.where(out.status == RUNNING, MAX_ITERS, out.status)
-    return CGResult(x=out.x, fun=out.f, iters=out.it, status=status, f0=f0)
+    return CGResult(x=out.x, fun=out.f, iters=out.it, status=status, f0=out.f0)

@@ -24,6 +24,8 @@ irrelevant and simplicity wins.
 
 from __future__ import annotations
 
+import functools
+import time
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -31,9 +33,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import FrontendConfig
+from ..config import FrontendConfig, OptimOptions
 from ..io import native
-from ..ops import warp_local
+from ..ops import optim, warp_local
+from ..ops.contrast import contrast
+from ..utils.metrics import logger
 from .sharding import batched_packet_solve
 
 
@@ -103,6 +107,160 @@ def cut_packets(
         weights=jnp.asarray(weights),
         times=times,
     )
+
+
+def _lane_objective(bearings, dts, weights, cam, blur_sigma, measure,
+                    precision="highest"):
+    packet = warp_local.EventPacket(bearings, dts, weights)
+
+    def f(omega):
+        iwe = warp_local.local_iwe(omega, packet, cam, blur_sigma,
+                                   precision=precision, impl="xla")
+        return -contrast(iwe, measure)
+
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "blur_sigma", "measure",
+                                             "opt", "precision"))
+def _init_states(bearings, dts, weights, omega0s, cam, blur_sigma, measure,
+                 opt, precision="highest"):
+    def one(b, d, w, x0):
+        f = _lane_objective(b, d, w, cam, blur_sigma, measure, precision)
+        return optim.cg_init(jax.value_and_grad(f), x0, opt.initial_step)
+
+    return jax.vmap(one)(bearings, dts, weights, omega0s)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "blur_sigma", "measure",
+                                             "opt", "round_iters",
+                                             "precision"))
+def _run_round(bearings, dts, weights, states, cam, blur_sigma, measure, opt,
+               round_iters, precision="highest"):
+    def one(b, d, w, s):
+        f = _lane_objective(b, d, w, cam, blur_sigma, measure, precision)
+        body = optim.make_cg_body(
+            jax.value_and_grad(f), f, dim=3,
+            line_search_tol=opt.line_search_tol,
+            grad_tol=opt.grad_tol,
+            fun_tol=opt.fun_tol,
+            max_fevals_per_linesearch=opt.max_fevals_per_linesearch,
+        )
+        return optim.cg_run_rounds(body, s, round_iters,
+                                   opt.max_line_searches)
+
+    return jax.vmap(one)(bearings, dts, weights, states)
+
+
+def _quantize_bucket(n: int, min_bucket: int) -> int:
+    """Round lane count up to {1, 1.25, 1.5, 1.75} x 2^k (bounded compile
+    cache: <= 4 sizes per octave, <= 25% padding vs 100% for pure pow2)."""
+    n = max(n, min_bucket)
+    if n <= 8:
+        return 8
+    k = (n - 1).bit_length() - 1  # n in (2^k, 2^(k+1)]
+    base = 1 << k
+    quarter = base // 4
+    return base + ((n - base + quarter - 1) // quarter) * quarter
+
+
+def track_batched_compacted(
+    batch: PacketBatch,
+    cam: warp_local.CameraParams,
+    cfg: FrontendConfig,
+    sweeps: int = 2,
+    round_schedule: tuple = (4, 4, 8, 8, 16),
+    min_bucket: int = 8,
+    cold_decimate: int = 4,
+    cold_precision: str = "default",
+):
+    """Batched tracking without the lockstep-straggler tax.
+
+    The vmapped while_loop in ``track_batched`` runs every lane until the
+    SLOWEST lane in its chunk converges. Here each CMax solve is advanced in
+    rounds of ``round_iters`` line searches (a fixed-trip fori_loop with
+    masked updates — constant-shape under vmap), and between rounds converged
+    lanes are dropped on the host and the survivors re-packed into
+    power-of-two buckets. Total device work is ~sum of per-lane iteration
+    counts (rounded up to the round size) instead of lanes x max-lane.
+
+    Jacobi warm-start sweeps as in track_batched: sweep 2 re-initializes each
+    packet from its left neighbor's sweep-1 solution, recovering the
+    sequential front-end's warm-start accuracy (ang_vel_estimator.cpp keeps
+    ang_vel_ across packets) while staying embarrassingly parallel.
+
+    Returns (times, omegas, costs, iters) like track_batched.
+    """
+    opt = cfg.optim
+    blur_sigma = cfg.warp.blur_sigma
+    measure = cfg.contrast_measure
+    Pn = batch.bearings.shape[0]
+    max_ls = opt.max_line_searches
+
+    omegas = np.zeros((Pn, 3), np.float32)
+    costs = np.zeros(Pn, np.float32)
+    iters = np.zeros(Pn, np.int32)
+
+    for sweep in range(max(sweeps, 1)):
+        final = sweep == max(sweeps, 1) - 1
+        if sweep > 0:
+            omega0 = np.concatenate([omegas[:1], omegas[:-1]], axis=0)
+            bearings, dts, weights = batch.bearings, batch.dts, batch.weights
+            precision = "highest"
+        else:
+            omega0 = np.zeros((Pn, 3), np.float32)
+            # Cold sweep only seeds the warm sweep: decimate events and drop
+            # matmul precision (the reference sheds load the same way with
+            # event_sample_rate, src/cmax_slam.cpp:155-156). The final sweep
+            # always runs full-resolution/full-precision.
+            k = 1 if final else max(cold_decimate, 1)
+            bearings = batch.bearings[:, ::k]
+            dts = batch.dts[:, ::k]
+            weights = batch.weights[:, ::k]
+            precision = "highest" if final else cold_precision
+        st_dev = _init_states(
+            bearings, dts, weights, jnp.asarray(omega0),
+            cam, blur_sigma, measure, opt, precision,
+        )
+        st = optim.CGState(*(np.array(a) for a in st_dev))  # writable copies
+        active = np.arange(Pn)
+        t_sweep = time.perf_counter()
+        rounds = 0
+        while True:
+            sub_status = st.status[active]
+            sub_it = st.it[active]
+            active = active[(sub_status == optim.RUNNING) & (sub_it < max_ls)]
+            n = len(active)
+            if n == 0:
+                break
+            bucket = _quantize_bucket(n, min_bucket)
+            idx = np.resize(active, bucket)  # pad by cycling (extras ignored)
+            idx_dev = jnp.asarray(idx)
+            sub = optim.CGState(*(jnp.asarray(a[idx]) for a in st))
+            round_iters = round_schedule[min(rounds, len(round_schedule) - 1)]
+            out = _run_round(
+                jnp.take(bearings, idx_dev, axis=0),
+                jnp.take(dts, idx_dev, axis=0),
+                jnp.take(weights, idx_dev, axis=0),
+                sub, cam, blur_sigma, measure, opt,
+                min(round_iters, max_ls), precision,
+            )
+            out = optim.CGState(*(np.asarray(a) for a in out))
+            for dst, src in zip(st, out):
+                dst[active] = src[:n]
+            rounds += 1
+            logger.debug(
+                "[batched] sweep %d round %d: %d active (bucket %d)",
+                sweep, rounds, n, bucket,
+            )
+        logger.info(
+            "[batched] sweep %d: %d rounds, %.3fs, mean iters %.1f",
+            sweep, rounds, time.perf_counter() - t_sweep, st.it.mean(),
+        )
+        omegas = st.x.copy()
+        costs = st.f.copy()
+        iters = st.it.copy()
+    return batch.times, omegas, costs, iters
 
 
 def track_batched(

@@ -1,0 +1,84 @@
+"""Real-time standard-scale replay check (VERDICT round-1 item 4).
+
+The reference replays rosbags at rate 1.0 on a CPU (launch/ijrr.launch:44).
+This script replays a synthetic shapes_rotation-like stream (240x180 ECD
+geometry, ~0.5M ev/s) through the FULL system with the ijrr preset
+(512x1024 panorama, 0.2/0.1 windows) and requires warm wall time <= stream
+duration. A first pass compiles every program shape; the timed pass starts
+from a fresh CMaxSLAM.
+"""
+import os, sys, time, json
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from cmax_slam_tpu.calib import CameraCalibration
+from cmax_slam_tpu.config import ijrr_config
+from cmax_slam_tpu.io import synthetic
+from cmax_slam_tpu.system import CMaxSLAM
+from cmax_slam_tpu.utils.evaluate import rotation_rms_deg
+from cmax_slam_tpu import spline
+
+W, H = 240, 180
+FX = FY = 180.0
+RATE = 500_000            # events/s (shapes_rotation-like)
+DURATION = 6.0            # seconds of stream
+CHUNK = 50_000            # feed granularity (~0.1 s of stream)
+
+rng = np.random.default_rng(11)
+omega_true = np.array([0.9, -1.3, 1.9])
+n = int(RATE * DURATION)
+print(f"generating {n} events over {DURATION}s...", flush=True)
+ev = synthetic.rotating_camera_events(
+    rng, n, DURATION, omega_true, FX, FY, W / 2, H / 2, W, H, n_points=400
+)
+calib = CameraCalibration(
+    width=W, height=H,
+    K=np.array([[FX, 0, W / 2], [0, FY, H / 2], [0, 0, 1.0]]),
+)
+cfg = ijrr_config()
+
+
+def replay(slam, n_events):
+    for i in range(0, n_events, CHUNK):
+        slam.push_events(ev.xs[i:i + CHUNK], ev.ys[i:i + CHUNK],
+                         ev.ts[i:i + CHUNK], ev.pols[i:i + CHUNK])
+
+
+print("warmup pass (compiles)...", flush=True)
+t0 = time.perf_counter()
+replay(CMaxSLAM(calib, cfg), n)
+print(f"warmup replay: {time.perf_counter() - t0:.1f}s", flush=True)
+
+slam = CMaxSLAM(calib, cfg)
+t0 = time.perf_counter()
+replay(slam, n)
+wall = time.perf_counter() - t0
+
+m = slam.metrics
+stats = {
+    "stream_duration_s": DURATION,
+    "wall_s": round(wall, 3),
+    "realtime_factor": round(DURATION / wall, 3),
+    "packets": len(slam.frontend.estimates),
+    "windows": len(slam.window_results()),
+    "timers_s": {k: round(v.total, 3) for k, v in m.timers.items()},
+}
+print(json.dumps(stats, indent=2))
+
+# accuracy: refined trajectory vs ground-truth rotation profile
+traj = slam.backend.traj
+t_grid = np.linspace(traj.t_beg + 1e-6, traj.max_time() - 1e-6, 80)
+q_est = traj.evaluate(t_grid)
+q_gt = np.stack([spline._np_quat_exp(omega_true * t) for t in t_grid])
+rms, _ = rotation_rms_deg(t_grid, q_gt, q_est, "global")
+print(f"trajectory RMS vs ground truth: {rms:.4f} deg")
+
+assert wall <= DURATION, (
+    f"replay took {wall:.2f}s for a {DURATION:.1f}s stream "
+    f"({wall / DURATION:.2f}x real-time)")
+assert rms < 0.3, f"accuracy regressed: {rms:.3f} deg"
+print(f"OK: {wall:.2f}s wall for {DURATION:.1f}s stream "
+      f"({DURATION / wall:.2f}x real-time)")

@@ -51,6 +51,32 @@ def test_batched_tracking_accuracy(stream):
     assert np.median(errs) < 0.2, f"median err {np.median(errs)}"
 
 
+def test_batched_tracking_compacted(stream):
+    """Compacted round-based schedule matches lockstep accuracy while
+    enforcing the GSL iteration budget per lane."""
+    ev, omega = stream
+    batch = batched.cut_packets(ev.xs, ev.ys, ev.ts, LUT, CAM, CFG)
+    times, omegas, costs, iters = batched.track_batched_compacted(
+        batch, CAM, CFG, sweeps=2
+    )
+    errs = np.linalg.norm(omegas - omega, axis=1)
+    assert np.median(errs) < 0.2, f"median err {np.median(errs)}"
+    assert iters.max() <= CFG.optim.max_line_searches
+    # all lanes left the RUNNING state (converged or exhausted the budget)
+    assert np.all(iters > 0)
+
+
+def test_quantize_bucket():
+    from cmax_slam_tpu.parallel.batched import _quantize_bucket
+
+    for n in [1, 3, 8]:
+        assert _quantize_bucket(n, 8) == 8
+    for n in [9, 17, 100, 129, 200, 257]:
+        b = _quantize_bucket(n, 8)
+        assert b >= n and (b - n) / n <= 0.25  # bounded padding
+    assert _quantize_bucket(128, 8) == 128  # exact powers stay exact
+
+
 def test_batched_tracking_sharded(stream):
     ev, omega = stream
     batch = batched.cut_packets(ev.xs, ev.ys, ev.ts, LUT, CAM, CFG)
