@@ -24,6 +24,7 @@ Window protocol (pose_graph_optimizer.cpp:244-354):
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
@@ -61,6 +62,141 @@ def _map_epilogue(ig, update_times, il_old, knots_new, fov_times,
     fovm = warp_pano.fov_mask(q_fov, lut_dev, pano, radius=3)
     upd_new = update_times + fovm
     return ig_new, upd_new
+
+
+@functools.lru_cache(maxsize=None)
+def _build_window_solver(pano, order: int, blur_sigma: float, measure: int,
+                         o, max_up: int):
+    """Full-panorama window solver, memoized at module level so every
+    Backend instance (and every replay pass in a process) shares one jit
+    function — and therefore one compiled-executable cache. The sensor
+    bearing LUT is a runtime argument for the same reason."""
+
+    @jax.jit
+    def solve(bearings, batch_times, weights, is_old, knots, free_mask,
+              t0, dt_knots, ig_prime, update_times, fov_times, lut_dev):
+        K = knots.shape[0]
+        win0 = PanoWindow(
+            bearings=bearings, batch_times=batch_times, weights=weights,
+            is_old=is_old, knots=knots, free_mask=free_mask,
+            t0=t0, dt_knots=dt_knots,
+            ig_prime=ig_prime, alpha=jnp.float32(0.0),
+        )
+        # First evaluation of the window computes alpha from the initial
+        # trajectory's IL (setFirstIter/updateAlpha semantics,
+        # event_pano_warper.cpp:201-213).
+        il0, _ = warp_pano.pano_objective_image(
+            jnp.zeros((K, 3), jnp.float32), win0, pano, order, blur_sigma
+        )
+        alpha = warp_pano.compute_alpha(il0, ig_prime)
+        win = win0._replace(alpha=alpha)
+
+        f, vg = warp_pano.make_pano_objective(
+            win, pano, order, blur_sigma, measure
+        )
+        res = optim.minimize_fr_cg(
+            vg, jnp.zeros(3 * K, jnp.float32), f_fn=f,
+            max_line_searches=o.max_line_searches,
+            initial_step=o.initial_step,
+            line_search_tol=o.line_search_tol,
+            grad_tol=o.grad_tol,
+            fun_tol=o.fun_tol,
+            max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+        )
+        drotv = res.x.reshape(K, 3)
+        knots_new = spline.apply_masked_increments(knots, drotv, free_mask)
+        # IL at the optimum feeds the global-map update (updateIG uses the
+        # last evaluation's IL_old, pose_graph_optimizer.cpp:303); the
+        # old/new split runs once here, outside the optimization loop.
+        il_old, il_new = warp_pano.pano_il_split(drotv, win, pano, order)
+        ig_new, upd_new = _map_epilogue(
+            ig_prime, update_times, il_old, knots_new, fov_times,
+            t0, dt_knots, pano, order, lut_dev, max_up,
+        )
+        stats = jnp.stack([
+            res.f0, res.fun, res.iters.astype(jnp.float32), alpha,
+            jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
+        ])
+        # One packed host-bound array (knots + stats): a single readback
+        # round trip per window; the maps stay device-resident.
+        packed = jnp.concatenate([knots_new.reshape(-1), stats])
+        return packed, ig_new, upd_new
+
+    return solve
+
+
+@functools.lru_cache(maxsize=None)
+def _build_crop_solver(pano, order: int, blur_sigma: float, measure: int,
+                       o, max_up: int, Hc: int, Wc: int):
+    """FOV-crop window solver (module-memoized like _build_window_solver):
+    identical protocol but every objective evaluation runs at crop scale."""
+    H, W = pano.height, pano.width
+
+    @jax.jit
+    def solve(bearings, batch_times, weights, is_old, knots, free_mask,
+              t0, dt_knots, ig_prime, update_times, fov_times, crop_ints,
+              lut_dev):
+        K = knots.shape[0]
+        win0 = PanoWindow(
+            bearings=bearings, batch_times=batch_times, weights=weights,
+            is_old=is_old, knots=knots, free_mask=free_mask,
+            t0=t0, dt_knots=dt_knots,
+            ig_prime=ig_prime, alpha=jnp.float32(0.0),
+        )
+        win, x0f, y0f, a_crop, mask, out_s1, out_s2 = (
+            warp_pano.crop_window_constants(
+                win0, pano, order, blur_sigma, measure, (Hc, Wc), crop_ints
+            )
+        )
+        f, vg = warp_pano.make_crop_objective(
+            win, pano, order, blur_sigma, measure, (Hc, Wc),
+            x0f, y0f, a_crop, mask, out_s1, out_s2,
+        )
+        res = optim.minimize_fr_cg(
+            vg, jnp.zeros(3 * K, jnp.float32), f_fn=f,
+            max_line_searches=o.max_line_searches,
+            initial_step=o.initial_step,
+            line_search_tol=o.line_search_tol,
+            grad_tol=o.grad_tol,
+            fun_tol=o.fun_tol,
+            max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+        )
+        drotv = res.x.reshape(K, 3)
+        knots_new = spline.apply_masked_increments(knots, drotv, free_mask)
+        # Old/new split at the optimum, on the crop, scattered back into
+        # full-pano frames for updateIG; plus the optimum's bounding box
+        # for the host-side escape check.
+        px, py = warp_pano.warp_to_pano(drotv, win, pano, order)
+        valid = weights > 0
+        inf = jnp.asarray(jnp.inf, px.dtype)
+        bbox_opt = jnp.stack([
+            jnp.min(jnp.where(valid, px, inf)),
+            jnp.max(jnp.where(valid, px, -inf)),
+            jnp.min(jnp.where(valid, py, inf)),
+            jnp.max(jnp.where(valid, py, -inf)),
+        ])
+        from .ops.scatter import bilinear_accumulate_two
+
+        ilo_c, _ = bilinear_accumulate_two(
+            px - x0f, py - y0f, weights, ~is_old, height=Hc, width=Wc,
+        )
+        il_old = jax.lax.dynamic_update_slice(
+            jnp.zeros((H, W), jnp.float32), ilo_c,
+            (crop_ints[0], crop_ints[1]),
+        )
+        ig_new, upd_new = _map_epilogue(
+            ig_prime, update_times, il_old, knots_new, fov_times,
+            t0, dt_knots, pano, order, lut_dev, max_up,
+        )
+        stats = jnp.concatenate([
+            jnp.stack([res.f0, res.fun, res.iters.astype(jnp.float32),
+                       win.alpha]),
+            bbox_opt,
+        ])
+        packed = jnp.concatenate([knots_new.reshape(-1), stats])
+        return packed, ig_new, upd_new
+
+    return solve
 
 
 @dataclass
@@ -127,6 +263,8 @@ class Backend:
         self._av_times: List[float] = []
         self._av_vals: List[np.ndarray] = []
         self._av_prev: Optional[Tuple[float, np.ndarray]] = None
+        # In-flight window solve awaiting its readback (see step()/flush()).
+        self._pending_win: Optional[dict] = None
 
         self.traj: Optional[spline.Trajectory] = None
         self.pose_latest: Optional[Tuple[float, np.ndarray]] = None
@@ -138,7 +276,7 @@ class Backend:
 
         # static window-knot count: round(win/dt) + degree
         self.K_win = int(round(self.win_size / cfg.trajectory.dt_knots)) + self.degree
-        self._solver_cache = {}
+        self._crop_shapes: set = set()  # (Hc, Wc) of compiled crop solvers
 
     # ------------------------------------------------------------------
     # Front-end interface (pushAngVel, pose_graph_optimizer.cpp:73-110)
@@ -171,19 +309,29 @@ class Backend:
         )
 
     def step(self) -> Optional[WindowResult]:
-        """One Run-loop iteration (pose_graph_optimizer.cpp:356-376)."""
+        """One Run-loop iteration (pose_graph_optimizer.cpp:356-376).
+
+        Completes the previous window's in-flight solve (its device program
+        ran while the host streamed the last stride), then dispatches this
+        window's. Returns the window COMPLETED during this call, if any."""
         if not self.ready():
             return None
+        done = self._complete_pending()
         ev = self._get_event_subset(self.t_win_beg, self.t_win_end)
         av = self._get_ang_vel_subset(self.t_av_beg, self.t_av_end)
         res = self._process_time_window(ev, av)
         self._slide_window()
-        return res
+        return res if res is not None else done
 
     def run(self) -> List[WindowResult]:
         out = []
         while self.ready():
-            out.append(self.step())
+            r = self.step()
+            if r is not None:
+                out.append(r)
+        tail = self.flush()
+        if tail is not None:
+            out.append(tail)
         return out
 
     # ------------------------------------------------------------------
@@ -264,29 +412,44 @@ class Backend:
         xs, ys, ts, _ = ev
         n_raw = len(ts)
         ran_ba = n_raw > self.min_events_per_win and self.traj.size > idx_cp_traj_beg
-        initial_cost = final_cost = 0.0
-        iters = 0
 
+        meta = dict(
+            index=self.count_window, t_beg=self.t_win_beg,
+            t_end=self.t_win_end, num_events=n_raw, ran_ba=ran_ba,
+            t_eval=self.t_win_end - 1e-6,
+        )
         if ran_ba:
+            # DISPATCH the window solve; the readback + write-back happen in
+            # _complete_pending at the start of the next step (the analog of
+            # the reference's back-end worker thread running concurrently
+            # with the front-end callback thread, src/cmax_slam.cpp:92 — the
+            # device crunches this window while the host streams the next
+            # stride of packets).
             with self.metrics.timer("backend.solve"):
-                initial_cost, final_cost, iters = self._solve_window(
+                pend = self._dispatch_window_solve(
                     xs, ys, ts, idx_cp_traj_beg, num_fixed
                 )
+            pend.update(meta)
+            self._pending_win = pend
             self.metrics.count("backend.events", n_raw)
+            return None
+        return self._finish_window(meta, 0.0, 0.0, 0)
 
-        # Update latest pose at the window end (:316-317).
-        t_eval = self.t_win_end - 1e-6
+    def _finish_window(self, meta, initial_cost, final_cost, iters):
+        """Pose-latest update + result bookkeeping for a completed window
+        (pose_graph_optimizer.cpp:316-323)."""
+        t_eval = meta["t_eval"]
         if self.traj.size >= self.order:
             q = self.traj.evaluate(min(t_eval, self.traj.max_time() - 1e-9))[0]
             self.pose_latest = (t_eval, q)
             self.trajectory_log.append((t_eval, q))
 
         res = WindowResult(
-            index=self.count_window,
-            t_beg=self.t_win_beg,
-            t_end=self.t_win_end,
-            num_events=n_raw,
-            ran_ba=ran_ba,
+            index=meta["index"],
+            t_beg=meta["t_beg"],
+            t_end=meta["t_end"],
+            num_events=meta["num_events"],
+            ran_ba=meta["ran_ba"],
             initial_cost=initial_cost,
             final_cost=final_cost,
             iters=iters,
@@ -294,9 +457,28 @@ class Backend:
         self.results.append(res)
         logger.info(
             "[back-end] window %d [%.3f, %.3f) n=%d ba=%s cost=%.5f iters=%d",
-            res.index, res.t_beg, res.t_end, n_raw, ran_ba, final_cost, iters,
+            res.index, res.t_beg, res.t_end, res.num_events, res.ran_ba,
+            final_cost, iters,
         )
         return res
+
+    def _complete_pending(self) -> Optional[WindowResult]:
+        """Finish the in-flight window solve: one packed readback, knot
+        write-back (+ full-pano re-solve if the optimum escaped its crop),
+        map-state promotion, then the usual window bookkeeping."""
+        p = self._pending_win
+        if p is None:
+            return None
+        self._pending_win = None
+        with self.metrics.timer("backend.fetch"):
+            initial, final, iters = self._finish_solve(p)
+        return self._finish_window(p, initial, final, iters)
+
+    def flush(self) -> Optional[WindowResult]:
+        """Join the asynchronous back-end: complete any in-flight window.
+        Call before reading results/trajectory/maps mid-stream (the final
+        state accessors on CMaxSLAM flush automatically)."""
+        return self._complete_pending()
 
     # ------------------------------------------------------------------
     def _window_arrays(self, xs, ys, ts, idx_cp_traj_beg):
@@ -361,69 +543,14 @@ class Backend:
         }
 
     def _get_solver(self, size: int, K: int):
-        """Jitted per-(event-capacity, knot-count) window solver."""
-        key = (size, K)
-        if key in self._solver_cache:
-            return self._solver_cache[key]
-
-        cfg = self.cfg
-        pano = self.pano
-        order = self.order
-        o = cfg.optim
-        blur_sigma = cfg.warp.blur_sigma
-        measure = cfg.contrast_measure
-
-        max_up = cfg.pano_map.max_update_times
-        lut_dev = self.lut_dev
-
-        @jax.jit
-        def solve(bearings, batch_times, weights, is_old, knots, free_mask,
-                  t0, dt_knots, ig_prime, update_times, fov_times):
-            win0 = PanoWindow(
-                bearings=bearings, batch_times=batch_times, weights=weights,
-                is_old=is_old, knots=knots, free_mask=free_mask,
-                t0=t0, dt_knots=dt_knots,
-                ig_prime=ig_prime, alpha=jnp.float32(0.0),
-            )
-            # First evaluation of the window computes alpha from the initial
-            # trajectory's IL (setFirstIter/updateAlpha semantics,
-            # event_pano_warper.cpp:201-213).
-            il0, _ = warp_pano.pano_objective_image(
-                jnp.zeros((K, 3), jnp.float32), win0, pano, order, blur_sigma
-            )
-            alpha = warp_pano.compute_alpha(il0, ig_prime)
-            win = win0._replace(alpha=alpha)
-
-            f, vg = warp_pano.make_pano_objective(
-                win, pano, order, blur_sigma, measure
-            )
-            res = optim.minimize_fr_cg(
-                vg, jnp.zeros(3 * K, jnp.float32), f_fn=f,
-                max_line_searches=o.max_line_searches,
-                initial_step=o.initial_step,
-                line_search_tol=o.line_search_tol,
-                grad_tol=o.grad_tol,
-                fun_tol=o.fun_tol,
-                max_fevals_per_linesearch=o.max_fevals_per_linesearch,
-            )
-            drotv = res.x.reshape(K, 3)
-            knots_new = spline.apply_masked_increments(knots, drotv, free_mask)
-            # IL at the optimum feeds the global-map update (updateIG uses the
-            # last evaluation's IL_old, pose_graph_optimizer.cpp:303); the
-            # old/new split runs once here, outside the optimization loop.
-            il_old, il_new = warp_pano.pano_il_split(drotv, win, pano, order)
-            ig_new, upd_new = _map_epilogue(
-                ig_prime, update_times, il_old, knots_new, fov_times,
-                t0, dt_knots, pano, order, lut_dev, max_up,
-            )
-            stats = jnp.stack([
-                res.f0, res.fun, res.iters.astype(jnp.float32), alpha,
-                jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
-            ])
-            return knots_new, ig_new, upd_new, stats
-
-        self._solver_cache[key] = solve
-        return solve
+        """Jitted window solver (module-memoized: a fresh Backend instance
+        reuses already-compiled programs within the process; jit itself
+        re-specializes per array shape, so size/K need not key the cache)."""
+        return _build_window_solver(
+            self.pano, self.order, self.cfg.warp.blur_sigma,
+            self.cfg.contrast_measure, self.cfg.optim,
+            self.cfg.pano_map.max_update_times,
+        )
 
     # Crop-dimension ladder: coarse buckets bound the number of compiled
     # solver variants; TPU-friendly (multiples of 128).
@@ -502,10 +629,26 @@ class Backend:
                     return min(b, dim)
             return dim
 
-        Wc = bucket((pxM - pxm) + 2 * pad, W)
-        Hc = bucket((pyM - pym) + 2 * pad, H)
-        if Hc * Wc >= 0.7 * H * W:
-            return None
+        need_w = (pxM - pxm) + 2 * pad
+        need_h = (pyM - pym) + 2 * pad
+        # Sticky shapes: reuse an already-compiled crop solver whose shape
+        # covers this window's need. Every distinct (Hc, Wc) is a fresh XLA
+        # program (tens of seconds to compile, ~2 s even from the persistent
+        # cache), and the footprint wobbles across ladder rungs as the camera
+        # moves — without stickiness a replay recompiles mid-stream.
+        best = None
+        for (hc, wc) in self._crop_shapes:
+            if hc >= need_h and wc >= need_w and hc * wc < 0.7 * H * W:
+                if best is None or hc * wc < best[0] * best[1]:
+                    best = (hc, wc)
+        if best is not None:
+            Hc, Wc = best
+        else:
+            Wc = bucket(need_w, W)
+            Hc = bucket(need_h, H)
+            if Hc * Wc >= 0.7 * H * W:
+                return None
+            self._crop_shapes.add((Hc, Wc))
         x0 = min(max(int(round(0.5 * (pxm + pxM) - Wc / 2)), 0), W - Wc)
         y0 = min(max(int(round(0.5 * (pym + pyM) - Hc / 2)), 0), H - Hc)
         vx0 = h if x0 > 0 else 0
@@ -535,87 +678,17 @@ class Backend:
         return not ok
 
     def _get_crop_solver(self, size: int, K: int, Hc: int, Wc: int):
-        """Jitted FOV-crop window solver: identical protocol to _get_solver
-        but every objective evaluation runs at crop scale."""
-        key = ("crop", size, K, Hc, Wc)
-        if key in self._solver_cache:
-            return self._solver_cache[key]
+        """Jitted FOV-crop window solver (module-memoized; see
+        _build_crop_solver)."""
+        return _build_crop_solver(
+            self.pano, self.order, self.cfg.warp.blur_sigma,
+            self.cfg.contrast_measure, self.cfg.optim,
+            self.cfg.pano_map.max_update_times, Hc, Wc,
+        )
 
-        cfg = self.cfg
-        pano = self.pano
-        order = self.order
-        o = cfg.optim
-        blur_sigma = cfg.warp.blur_sigma
-        measure = cfg.contrast_measure
-        H, W = pano.height, pano.width
-        max_up = cfg.pano_map.max_update_times
-        lut_dev = self.lut_dev
-
-        @jax.jit
-        def solve(bearings, batch_times, weights, is_old, knots, free_mask,
-                  t0, dt_knots, ig_prime, update_times, fov_times, crop_ints):
-            win0 = PanoWindow(
-                bearings=bearings, batch_times=batch_times, weights=weights,
-                is_old=is_old, knots=knots, free_mask=free_mask,
-                t0=t0, dt_knots=dt_knots,
-                ig_prime=ig_prime, alpha=jnp.float32(0.0),
-            )
-            win, x0f, y0f, a_crop, mask, out_s1, out_s2 = (
-                warp_pano.crop_window_constants(
-                    win0, pano, order, blur_sigma, measure, (Hc, Wc), crop_ints
-                )
-            )
-            f, vg = warp_pano.make_crop_objective(
-                win, pano, order, blur_sigma, measure, (Hc, Wc),
-                x0f, y0f, a_crop, mask, out_s1, out_s2,
-            )
-            res = optim.minimize_fr_cg(
-                vg, jnp.zeros(3 * K, jnp.float32), f_fn=f,
-                max_line_searches=o.max_line_searches,
-                initial_step=o.initial_step,
-                line_search_tol=o.line_search_tol,
-                grad_tol=o.grad_tol,
-                fun_tol=o.fun_tol,
-                max_fevals_per_linesearch=o.max_fevals_per_linesearch,
-            )
-            drotv = res.x.reshape(K, 3)
-            knots_new = spline.apply_masked_increments(knots, drotv, free_mask)
-            # Old/new split at the optimum, on the crop, scattered back into
-            # full-pano frames for updateIG; plus the optimum's bounding box
-            # for the host-side escape check.
-            px, py = warp_pano.warp_to_pano(drotv, win, pano, order)
-            valid = weights > 0
-            inf = jnp.asarray(jnp.inf, px.dtype)
-            bbox_opt = jnp.stack([
-                jnp.min(jnp.where(valid, px, inf)),
-                jnp.max(jnp.where(valid, px, -inf)),
-                jnp.min(jnp.where(valid, py, inf)),
-                jnp.max(jnp.where(valid, py, -inf)),
-            ])
-            from .ops.scatter import bilinear_accumulate_two
-
-            ilo_c, _ = bilinear_accumulate_two(
-                px - x0f, py - y0f, weights, ~is_old, height=Hc, width=Wc,
-            )
-            il_old = jax.lax.dynamic_update_slice(
-                jnp.zeros((H, W), jnp.float32), ilo_c,
-                (crop_ints[0], crop_ints[1]),
-            )
-            ig_new, upd_new = _map_epilogue(
-                ig_prime, update_times, il_old, knots_new, fov_times,
-                t0, dt_knots, pano, order, lut_dev, max_up,
-            )
-            stats = jnp.concatenate([
-                jnp.stack([res.f0, res.fun, res.iters.astype(jnp.float32),
-                           win.alpha]),
-                bbox_opt,
-            ])
-            return knots_new, ig_new, upd_new, stats
-
-        self._solver_cache[key] = solve
-        return solve
-
-    def _solve_window(self, xs, ys, ts, idx_cp_traj_beg, num_fixed):
+    def _dispatch_window_solve(self, xs, ys, ts, idx_cp_traj_beg, num_fixed):
+        """Marshal the window and ENQUEUE its solve; no blocking readback.
+        Returns the pending-completion record for _finish_solve."""
         arrays = self._window_arrays(xs, ys, ts, idx_cp_traj_beg)
         size = arrays.pop("size")
 
@@ -640,36 +713,52 @@ class Backend:
             jnp.float32(self.cfg.trajectory.dt_knots),
             self.IG, self.update_times, jnp.asarray(fov_rel),
         )
-        out = None
         plan = self._plan_crop(arrays, sub) if self.cfg.crop_solver else None
         if plan is not None:
             Hc, Wc, ints, h = plan
             crop_solve = self._get_crop_solver(size, K, Hc, Wc)
-            knots_new, ig_new, upd_new, stats = crop_solve(
-                *args, jnp.asarray(ints)
+            packed, ig_new, upd_new = crop_solve(
+                *args, jnp.asarray(ints), self.lut_dev
             )
-            stats = np.asarray(stats)
+        else:
+            solve = self._get_solver(size, K)
+            packed, ig_new, upd_new = solve(*args, self.lut_dev)
+        return dict(
+            packed=packed, ig_new=ig_new, upd_new=upd_new, plan=plan,
+            args=args, size=size, K=K, n_real=n_real,
+            idx_cp_traj_beg=idx_cp_traj_beg,
+        )
+
+    def _finish_solve(self, p) -> Tuple[float, float, int]:
+        """Complete a dispatched window solve: single packed readback
+        [4K knots | 8 stats], crop-escape re-solve if needed, then knot
+        write-back (incrementalUpdate on the live trajectory,
+        global_optim_contrast_gsl.cpp:130) and device-resident map
+        promotion."""
+        K = p["K"]
+        packed = np.asarray(p["packed"])
+        knots_new, stats = packed[: 4 * K].reshape(K, 4), packed[4 * K:]
+        ig_new, upd_new = p["ig_new"], p["upd_new"]
+        if p["plan"] is not None:
+            Hc, Wc, ints, h = p["plan"]
             if self._crop_escaped(stats[4:8], ints, Hc, Wc, h):
                 logger.info(
                     "[back-end] window %d: optimum escaped the %dx%d crop; "
-                    "re-solving on the full panorama", self.count_window, Hc, Wc,
+                    "re-solving on the full panorama", p["index"], Hc, Wc,
                 )
                 self.metrics.count("backend.crop_escapes", 1)
+                solve = self._get_solver(p["size"], K)
+                packed, ig_new, upd_new = solve(*p["args"], self.lut_dev)
+                packed = np.asarray(packed)
+                knots_new, stats = (packed[: 4 * K].reshape(K, 4),
+                                    packed[4 * K:])
             else:
                 self.metrics.count("backend.crop_windows", 1)
-                out = (knots_new, ig_new, upd_new, stats)
-        if out is None:
-            solve = self._get_solver(size, K)
-            knots_new, ig_new, upd_new, stats = solve(*args)
-            out = (knots_new, ig_new, upd_new, np.asarray(stats))
-        knots_new, ig_new, upd_new, stats = out
 
-        # Write back optimized knots (incrementalUpdate on the live
-        # trajectory, global_optim_contrast_gsl.cpp:130); keep the updated
-        # maps as device arrays (the next window consumes them in place).
-        self.traj.knots[idx_cp_traj_beg : idx_cp_traj_beg + n_real] = np.asarray(
-            knots_new, np.float64
-        )[:n_real]
+        idx = p["idx_cp_traj_beg"]
+        self.traj.knots[idx : idx + p["n_real"]] = (
+            knots_new.astype(np.float64)[: p["n_real"]]
+        )
         self.IG = ig_new
         self.update_times = upd_new
         return float(stats[0]), float(stats[1]), int(stats[2])
@@ -702,6 +791,8 @@ class Backend:
         """Pano display image (publishEventImage,
         pose_graph_optimizer.cpp:378-413)."""
         from .utils.image import render_pano
+
+        self.flush()
 
         img = render_pano(np.asarray(self.IG), gamma=self.cfg.gamma, invert=True)
         if self.cfg.draw_fov and self.traj is not None and self.traj.size >= self.order:
@@ -748,6 +839,7 @@ class Backend:
     def checkpoint(self) -> dict:
         """Serializable back-end state (SURVEY.md section 5: the reference has
         no checkpoint/resume; knots + IG + counts are the whole state)."""
+        self.flush()
         return {
             "knots": self.traj.knots if self.traj else np.zeros((0, 4)),
             "traj_t_beg": self.traj.t_beg if self.traj else 0.0,

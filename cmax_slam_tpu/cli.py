@@ -167,6 +167,7 @@ def main(argv=None) -> int:
                 os.path.join(args.out_dir, f"pano_map_{maps_done:04d}.png"),
                 slam.backend.render_map(),
             )
+    slam.flush()  # join the in-flight back-end window
     wall = time.perf_counter() - t_wall
 
     # --- outputs ---

@@ -19,6 +19,7 @@ Packet semantics mirror the reference exactly (ang_vel_estimator.cpp:68-135):
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Tuple
 
@@ -33,6 +34,67 @@ from .ops.contrast import contrast
 from .utils.metrics import Metrics, logger
 
 
+@functools.lru_cache(maxsize=None)
+def _build_packet_solver(cam, batch_size: int, blur_sigma: float,
+                         measure: int, o, coarse_to_fine: bool):
+    """Fused packet-assembly + CMax solve as ONE jitted program.
+
+    Module-memoized so Frontend instances share compiled executables, and
+    fused so a packet costs exactly one host->device upload (the packed
+    (4, S) event block) plus one program dispatch — eager per-op dispatch
+    and per-field uploads each cost a tunnel round trip on remote devices.
+    The bearing LUT is a runtime argument (not a baked-in constant)."""
+
+    @jax.jit
+    def solve(evdata, t_ref, omega0, lut):
+        xs, ys, ts, validf = evdata[0], evdata[1], evdata[2], evdata[3]
+        valid = validf > 0
+        idx = jnp.where(
+            valid, ys.astype(jnp.int32) * cam.width + xs.astype(jnp.int32), 0
+        )
+        packet = warp_local.EventPacket(
+            bearings=jnp.take(lut, idx, axis=0),
+            dts=warp_local.batch_midpoint_dts(ts, valid, batch_size, t_ref),
+            weights=validf,
+        )
+
+        def make_f(sigma):
+            def f(omega):
+                iwe = warp_local.local_iwe(omega, packet, cam, sigma)
+                return -contrast(iwe, measure)
+            return f
+
+        def minimize(f, x0, max_ls):
+            return optim.minimize_fr_cg(
+                jax.value_and_grad(f), x0, f_fn=f,
+                max_line_searches=max_ls,
+                initial_step=o.initial_step,
+                line_search_tol=o.line_search_tol,
+                grad_tol=o.grad_tol,
+                fun_tol=o.fun_tol,
+                max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+            )
+
+        x0 = omega0
+        iters_coarse = 0
+        if coarse_to_fine:
+            coarse = minimize(
+                make_f(max(blur_sigma, 1.0) * 3.0), x0,
+                o.max_line_searches // 2,
+            )
+            x0 = coarse.x
+            iters_coarse = coarse.iters
+        res = minimize(make_f(blur_sigma), x0, o.max_line_searches)
+        packed = jnp.concatenate([
+            res.x,
+            jnp.stack([res.fun,
+                       (res.iters + iters_coarse).astype(jnp.float32)]),
+        ])
+        return res.x, packed
+
+    return solve
+
+
 @dataclass
 class AngVelEstimate:
     t: float
@@ -41,6 +103,12 @@ class AngVelEstimate:
     iters: int
     num_events: int
     span: Tuple[int, int] = (0, 0)  # absolute event-store indices [beg, end)
+    # In-flight device results packed as one (5,) array [omega, cost, iters]:
+    # a single host fetch per packet — and one STACKED fetch per chunk —
+    # instead of three (each blocking device->host round trip costs ~25 ms
+    # over a remote-device tunnel; readback count, not bytes, is what the
+    # streaming loop must minimize).
+    packed: object = None
 
 
 class Frontend:
@@ -88,46 +156,11 @@ class Frontend:
 
     # ------------------------------------------------------------------
     def _build_solver(self) -> Callable:
-        cam = self.cam
         cfg = self.cfg
-        blur_sigma = cfg.warp.blur_sigma
-        measure = cfg.contrast_measure
-        o = cfg.optim
-
-        @jax.jit
-        def solve(bearings, dts, weights, omega0):
-            packet = warp_local.EventPacket(bearings, dts, weights)
-
-            def make_f(sigma):
-                def f(omega):
-                    iwe = warp_local.local_iwe(omega, packet, cam, sigma)
-                    return -contrast(iwe, measure)
-                return f
-
-            def minimize(f, x0, max_ls):
-                return optim.minimize_fr_cg(
-                    jax.value_and_grad(f), x0, f_fn=f,
-                    max_line_searches=max_ls,
-                    initial_step=o.initial_step,
-                    line_search_tol=o.line_search_tol,
-                    grad_tol=o.grad_tol,
-                    fun_tol=o.fun_tol,
-                    max_fevals_per_linesearch=o.max_fevals_per_linesearch,
-                )
-
-            x0 = omega0
-            iters_coarse = 0
-            if cfg.coarse_to_fine:
-                coarse = minimize(
-                    make_f(max(blur_sigma, 1.0) * 3.0), x0,
-                    o.max_line_searches // 2,
-                )
-                x0 = coarse.x
-                iters_coarse = coarse.iters
-            res = minimize(make_f(blur_sigma), x0, o.max_line_searches)
-            return res.x, res.fun, res.iters + iters_coarse
-
-        return solve
+        return _build_packet_solver(
+            self.cam, cfg.warp.event_batch_size, cfg.warp.blur_sigma,
+            cfg.contrast_measure, cfg.optim, cfg.coarse_to_fine,
+        )
 
     # ------------------------------------------------------------------
     def push_events(self, xs, ys, ts, ps) -> List[AngVelEstimate]:
@@ -183,25 +216,43 @@ class Frontend:
 
     def _finalize(self, est: "AngVelEstimate") -> "AngVelEstimate":
         """Materialize a pipelined estimate's device results on host."""
-        if est is not None and not isinstance(est.omega, np.ndarray):
-            est.omega = np.asarray(est.omega, np.float64)
-            est.cost = float(est.cost)
-            est.iters = int(est.iters)
+        if est is not None and est.packed is not None:
+            vals = np.asarray(est.packed)
+            est.omega = vals[:3].astype(np.float64)
+            est.cost = float(vals[3])
+            est.iters = int(vals[4])
+            est.packed = None
         return est
+
+    def _finalize_batch(self, ests: List["AngVelEstimate"]) -> None:
+        """Materialize many estimates with ONE stacked device->host fetch
+        (readback round trips dominate streaming wall time on remote
+        devices; see AngVelEstimate.packed)."""
+        pend = [e for e in ests if e.packed is not None]
+        if len(pend) > 1:
+            vals = np.asarray(jnp.stack([e.packed for e in pend]))
+            for e, v in zip(pend, vals):
+                e.omega = v[:3].astype(np.float64)
+                e.cost = float(v[3])
+                e.iters = int(v[4])
+                e.packed = None
+        elif pend:
+            self._finalize(pend[0])
 
     def _process_ready_packets(self) -> List[AngVelEstimate]:
         out = []
         while self._pending and self.store.total > self._pending[0][1]:
             beg, end = self._pending.pop(0)
             est = self._process_packet(beg, end)
-            # finalize the previous in-flight solve; its device work
+            # hand over the previous in-flight solve; its device work
             # overlapped this packet's host prep + dispatch
             if self._inflight is not None:
-                out.append(self._finalize(self._inflight))
+                out.append(self._inflight)
             self._inflight = est
         if self._inflight is not None:
-            out.append(self._finalize(self._inflight))
+            out.append(self._inflight)
             self._inflight = None
+        self._finalize_batch(out)
         return out
 
     def _process_packet(self, beg: int, end: int) -> AngVelEstimate:
@@ -221,32 +272,27 @@ class Frontend:
             return est
 
         S = self.packet_size
-        pad = S - n
-        xs_p = np.pad(xs, (0, pad))
-        ys_p = np.pad(ys, (0, pad))
-        ts_rel = np.pad((ts - self._t0).astype(np.float32), (0, pad))
-        valid = np.zeros(S, bool)
-        valid[:n] = True
+        evdata = np.zeros((4, S), np.float32)
+        evdata[0, :n] = xs
+        evdata[1, :n] = ys
+        evdata[2, :n] = (ts - self._t0).astype(np.float32)
+        evdata[3, :n] = 1.0
 
         with self.metrics.timer("frontend.solve"):
-            packet = warp_local.make_packet(
-                jnp.asarray(xs_p), jnp.asarray(ys_p), jnp.asarray(ts_rel),
-                jnp.asarray(valid), self.lut, self.cam,
-                cfg.warp.event_batch_size,
-                np.float32(t_packet - self._t0),
-            )
-            # Asynchronous dispatch: the warm start is handed over as a
-            # device array, so back-to-back packet solves chain on device
-            # with no host round trip in between.
-            omega, cost, iters = self._solve(
-                packet.bearings, packet.dts, packet.weights, self._omega_dev
+            # Asynchronous dispatch: ONE upload + ONE fused program per
+            # packet; the warm start is handed over as a device array, so
+            # back-to-back packet solves chain on device with no host round
+            # trip in between.
+            omega, packed = self._solve(
+                jnp.asarray(evdata), np.float32(t_packet - self._t0),
+                self._omega_dev, self.lut,
             )
 
         self._omega_dev = omega
         self.metrics.count("frontend.events", n)
         est = AngVelEstimate(
-            t=t_packet, omega=omega, cost=cost, iters=iters, num_events=n,
-            span=(beg, end),
+            t=t_packet, omega=omega, cost=0.0, iters=0, num_events=n,
+            span=(beg, end), packed=packed,
         )
         self.estimates.append(est)
         logger.debug("[front-end] packet t=%.4f n=%d dispatched", t_packet, n)

@@ -259,16 +259,19 @@ bilinear_accumulate_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def vmem_fits(height: int, width: int, lane: int = LANE,
-              budget_bytes: int = 15 * 1024 * 1024,
+              budget_bytes: int = 13 * 1024 * 1024 + 512 * 1024,
               with_carry: bool = False) -> bool:
     """Whether the FORWARD kernel's live VMEM fits the 16 MB/core budget:
     out_ref + the dot result (2 accumulator copies; 3 with the loop-carried
-    partial sum of the fast small-image variant) + one wx/wy hat pair.
-    Coefficients validated against Mosaic's scoped-vmem accounting on v5e
-    (a 1024x1280 crop at lane 128 measured 17.9 MB with the carry; the
-    2-copy direct-accumulate variant at lane 256 compiles)."""
+    partial sum of the fast small-image variant) + the hat live set — wx
+    (lane, W) plus wy AND its weighted product (2 x (lane, H)).
+    Coefficients validated against Mosaic's scoped-vmem accounting on v5e:
+    384x640 at lane 2048 with carry measured 17.32 MB (model 15.98 — the
+    conservative 13.5 MB budget absorbs the residual underestimate);
+    a 1024x1280 crop at lane 128 with carry measured 17.9 MB (reject);
+    240x180 at lane 2048 with carry runs (the 190 M ev/s bench kernel)."""
     acc = height * ((width + 127) // 128 * 128) * 4
-    pair = (height + width) * 4
+    pair = (width + 2 * height) * 4
     misc = 1 * 1024 * 1024  # event blocks (double-buffered), semaphores, slack
     copies = 3 if with_carry else 2
     return copies * acc + lane * pair + misc < budget_bytes

@@ -103,10 +103,22 @@ class CMaxSLAM:
     @property
     def trajectory_log(self):
         """Back-end refined absolute poses as [(t, quat_wxyz)]."""
-        return self.backend.trajectory_log if self.backend else []
+        if self.backend is None:
+            return []
+        self.backend.flush()
+        return self.backend.trajectory_log
 
     def window_results(self) -> List[WindowResult]:
-        return self.backend.results if self.backend else []
+        if self.backend is None:
+            return []
+        self.backend.flush()
+        return self.backend.results
+
+    def flush(self) -> None:
+        """Join any in-flight back-end window (the analog of waiting for the
+        reference's worker thread to drain, src/cmax_slam.cpp:92)."""
+        if self.backend is not None:
+            self.backend.flush()
 
     def save_checkpoint(self, path: str) -> None:
         """Serialize full system state (knots, global map, cursors) — a

@@ -61,6 +61,7 @@ for r in res:
 print(f"frontend solves: {fs.count} mean {fs.mean*1e3:.1f} ms (min {fs.minimum*1e3:.1f})")
 print(f"backend  solves: {bs.count} mean {bs.mean*1e3:.1f} ms (min {bs.minimum*1e3:.1f})")
 
+slam.flush()
 traj = slam.backend.traj
 t_grid = np.linspace(traj.t_beg + 1e-6, traj.max_time() - 1e-6, 50)
 q_est = traj.evaluate(t_grid)

@@ -55,6 +55,7 @@ bs = slam.metrics.timers.get("backend.solve")
 print(f"windows={len(res)} ba={[r.ran_ba for r in res]} wall={wall:.1f}s")
 if bs:
     print(f"backend solves: {bs.count} mean {bs.mean:.1f}s (min {bs.minimum:.2f}s)")
+slam.flush()
 traj = slam.backend.traj
 t_grid = np.linspace(traj.t_beg + 1e-6, traj.max_time() - 1e-6, 30)
 q_est = traj.evaluate(t_grid)

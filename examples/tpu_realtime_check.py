@@ -45,6 +45,7 @@ def replay(slam, n_events):
     for i in range(0, n_events, CHUNK):
         slam.push_events(ev.xs[i:i + CHUNK], ev.ys[i:i + CHUNK],
                          ev.ts[i:i + CHUNK], ev.pols[i:i + CHUNK])
+    slam.flush()  # wall time includes joining the last in-flight window
 
 
 print("warmup pass (compiles)...", flush=True)
@@ -69,6 +70,7 @@ stats = {
 print(json.dumps(stats, indent=2))
 
 # accuracy: refined trajectory vs ground-truth rotation profile
+slam.flush()
 traj = slam.backend.traj
 t_grid = np.linspace(traj.t_beg + 1e-6, traj.max_time() - 1e-6, 80)
 q_est = traj.evaluate(t_grid)

@@ -81,6 +81,7 @@ def slam_run():
     for i in range(0, n, 20000):
         slam.push_events(ev.xs[i:i+20000], ev.ys[i:i+20000],
                          ev.ts[i:i+20000], ev.pols[i:i+20000])
+    slam.flush()
     return slam, rot_fn, omega_fn, ev
 
 

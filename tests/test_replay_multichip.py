@@ -1,0 +1,94 @@
+"""Segment-per-device full-system replay with overlap stitching
+(parallel/replay.py): correctness on the virtual 8-device CPU mesh.
+
+The reference has no distributed execution (SURVEY.md section 2.3); this is
+the TPU-native temporal-parallel offline mode. The stitched trajectory must
+match ground truth about as well as a single sequential system does.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from cmax_slam_tpu import spline
+from cmax_slam_tpu.calib import CameraCalibration
+from cmax_slam_tpu.config import (
+    BackendConfig, FrontendConfig, PanoMapOptions, SlidingWindowOptions,
+    SystemConfig, TrajectoryOptions, WarpOptions,
+)
+from cmax_slam_tpu.io import synthetic
+from cmax_slam_tpu.parallel import replay
+from cmax_slam_tpu.utils.evaluate import rotation_rms_deg
+
+W, H = 120, 90
+FXY = 90.0
+
+
+@pytest.fixture(scope="module")
+def long_stream():
+    rng = np.random.default_rng(21)
+    omega = np.array([0.6, -0.9, 1.3])
+    n, duration = 600_000, 2.4
+    ev = synthetic.rotating_camera_events(
+        rng, n, duration, omega, FXY, FXY, W / 2, H / 2, W, H, n_points=260
+    )
+    return ev, omega
+
+
+def _cfg():
+    return SystemConfig(
+        frontend=FrontendConfig(
+            num_events_per_packet=6000, dt_ang_vel=0.02,
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100),
+        ),
+        backend=BackendConfig(
+            sliding_window=SlidingWindowOptions(0.2, 0.1),
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100),
+            trajectory=TrajectoryOptions(dt_knots=0.05, spline_degree=1),
+            pano_map=PanoMapOptions(
+                pano_height=256, pano_width=512, backend_min_ev_rate=1000,
+                max_update_times=200,
+            ),
+        ),
+    )
+
+
+def test_segmented_replay_stitches(long_stream):
+    ev, omega = long_stream
+    calib = CameraCalibration(
+        width=W, height=H,
+        K=np.array([[FXY, 0, W / 2], [0, FXY, H / 2], [0, 0, 1.0]]),
+    )
+    assert len(jax.devices()) >= 3
+    times, quats, segs = replay.replay_multichip(
+        ev.xs, ev.ys, ev.ts, ev.pols, calib, _cfg(),
+        n_segments=3, overlap=0.3, chunk_events=40_000,
+    )
+    # every segment ran its own backend (independent maps/trajectories)
+    assert all(len(s.slam.window_results()) >= 2 for s in segs)
+    assert len(times) > 100
+    assert np.all(np.diff(times) > 0), "stitched times must be increasing"
+    # accuracy vs ground truth after the usual global gauge alignment
+    q_gt = np.stack([spline._np_quat_exp(omega * t) for t in times])
+    rms, errs = rotation_rms_deg(times, q_gt, quats, "global")
+    assert rms < 0.5, f"stitched RMS {rms} deg (max err {errs.max()})"
+    # the stitch seams must not be outliers: per-sample error stays bounded
+    assert errs.max() < 1.0, f"seam outlier: max err {errs.max()} deg"
+
+
+def test_segmented_replay_validates_inputs(long_stream):
+    ev, _ = long_stream
+    calib = CameraCalibration(
+        width=W, height=H,
+        K=np.array([[FXY, 0, W / 2], [0, FXY, H / 2], [0, 0, 1.0]]),
+    )
+    with pytest.raises(ValueError, match="devices"):
+        replay.replay_multichip(
+            ev.xs, ev.ys, ev.ts, ev.pols, calib, _cfg(),
+            n_segments=len(jax.devices()) + 1,
+        )
+    with pytest.raises(ValueError, match="overlap"):
+        replay.replay_multichip(
+            ev.xs, ev.ys, ev.ts, ev.pols, calib, _cfg(),
+            n_segments=3, overlap=10.0,
+        )
