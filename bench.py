@@ -82,7 +82,7 @@ def main():
     ev_per_sec = reps * n_events / dt
     baseline = 100e6
 
-    backend_ms, backend_rt = bench_backend_window()
+    backend_ms, replay_rt = bench_backend_window()
     print(
         json.dumps(
             {
@@ -90,21 +90,24 @@ def main():
                 "value": round(ev_per_sec, 1),
                 "unit": "events/s",
                 "vs_baseline": round(ev_per_sec / baseline, 4),
-                # Back-end bundle adjustment: warm wall time of one full
-                # 512x1024-pano window solve (FOV-crop path) vs the 100 ms
-                # sliding stride it must keep up with (rt > 1 = faster than
-                # the stream; the reference replays rosbags at rate 1.0).
+                # Back-end bundle adjustment: warm per-window cost (dispatch
+                # + readback wait) of the 512x1024-pano FOV-crop solve, and
+                # the warm FULL-SYSTEM replay speed as a realtime factor
+                # (stream seconds per wall second; > 1 = faster than the
+                # stream — the reference replays rosbags at rate 1.0).
                 "backend_window_ms": backend_ms,
-                "backend_rt_factor": backend_rt,
+                "replay_rt_factor": replay_rt,
             }
         )
     )
 
 
 def bench_backend_window():
-    """Warm per-window wall time of the full back-end solve (device program
-    + host orchestration), on the IJRR-preset geometry (512x1024 pano,
-    0.2 s windows sliding by 0.1 s)."""
+    """Warm full-system replay on the IJRR-preset geometry (512x1024 pano,
+    0.2 s windows sliding by 0.1 s): per-window back-end cost (dispatch +
+    readback wait; the solves complete asynchronously) and the end-to-end
+    realtime factor (stream seconds per wall second; the reference replays
+    rosbags at rate 1.0, launch/ijrr.launch:44)."""
     import numpy as np
 
     from cmax_slam_tpu.calib import CameraCalibration
@@ -141,16 +144,24 @@ def bench_backend_window():
             ),
         ),
     )
-    slam = CMaxSLAM(calib, cfg)
-    for i in range(0, n, 50000):
-        slam.push_events(ev.xs[i:i + 50000], ev.ys[i:i + 50000],
-                         ev.ts[i:i + 50000], ev.pols[i:i + 50000])
+
+    def replay():
+        slam = CMaxSLAM(calib, cfg)
+        t0 = time.perf_counter()
+        for i in range(0, n, 50000):
+            slam.push_events(ev.xs[i:i + 50000], ev.ys[i:i + 50000],
+                             ev.ts[i:i + 50000], ev.pols[i:i + 50000])
+        slam.flush()
+        return slam, time.perf_counter() - t0
+
+    replay()  # compile pass
+    slam, wall = replay()  # warm pass
     solve = slam.metrics.timers.get("backend.solve")
-    if solve is None or solve.count == 0:
+    fetch = slam.metrics.timers.get("backend.fetch")
+    if fetch is None or fetch.count == 0:
         return None, None
-    ms = solve.minimum * 1e3
-    stride_ms = cfg.backend.sliding_window.sliding_window_stride * 1e3
-    return round(ms, 1), round(stride_ms / ms, 3)
+    ms = (solve.total + fetch.total) / fetch.count * 1e3
+    return round(ms, 1), round(duration / wall, 3)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -64,35 +65,50 @@ def _map_epilogue(ig, update_times, il_old, knots_new, fov_times,
     return ig_new, upd_new
 
 
+def _unpack_window(evd, batch_times, knots, free_mask, t0, dt_knots,
+                   ig_prime, lut_dev, cam_width: int) -> PanoWindow:
+    """Device-side window assembly from the packed [xs|ys|weight|is_old]
+    upload: LUT bearing gather (component-major) + flag decode."""
+    valid = evd[2] > 0
+    idx = jnp.where(
+        valid, evd[1].astype(jnp.int32) * cam_width + evd[0].astype(jnp.int32),
+        0,
+    )
+    bearings = jnp.take(lut_dev, idx, axis=0).T  # (3, N) lane-major
+    return PanoWindow(
+        bearings=bearings, batch_times=batch_times, weights=evd[2],
+        is_old=evd[3] > 0, knots=knots, free_mask=free_mask,
+        t0=t0, dt_knots=dt_knots, ig_prime=ig_prime, alpha=jnp.float32(0.0),
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _build_window_solver(pano, order: int, blur_sigma: float, measure: int,
-                         o, max_up: int):
+                         o, max_up: int, cam_width: int,
+                         precision: str = "highest"):
     """Full-panorama window solver, memoized at module level so every
     Backend instance (and every replay pass in a process) shares one jit
     function — and therefore one compiled-executable cache. The sensor
     bearing LUT is a runtime argument for the same reason."""
 
     @jax.jit
-    def solve(bearings, batch_times, weights, is_old, knots, free_mask,
+    def solve(evd, batch_times, knots, free_mask,
               t0, dt_knots, ig_prime, update_times, fov_times, lut_dev):
         K = knots.shape[0]
-        win0 = PanoWindow(
-            bearings=bearings, batch_times=batch_times, weights=weights,
-            is_old=is_old, knots=knots, free_mask=free_mask,
-            t0=t0, dt_knots=dt_knots,
-            ig_prime=ig_prime, alpha=jnp.float32(0.0),
-        )
+        win0 = _unpack_window(evd, batch_times, knots, free_mask, t0,
+                              dt_knots, ig_prime, lut_dev, cam_width)
         # First evaluation of the window computes alpha from the initial
         # trajectory's IL (setFirstIter/updateAlpha semantics,
         # event_pano_warper.cpp:201-213).
         il0, _ = warp_pano.pano_objective_image(
-            jnp.zeros((K, 3), jnp.float32), win0, pano, order, blur_sigma
+            jnp.zeros((K, 3), jnp.float32), win0, pano, order, blur_sigma,
+            precision,
         )
         alpha = warp_pano.compute_alpha(il0, ig_prime)
         win = win0._replace(alpha=alpha)
 
         f, vg = warp_pano.make_pano_objective(
-            win, pano, order, blur_sigma, measure
+            win, pano, order, blur_sigma, measure, precision
         )
         res = optim.minimize_fr_cg(
             vg, jnp.zeros(3 * K, jnp.float32), f_fn=f,
@@ -108,7 +124,8 @@ def _build_window_solver(pano, order: int, blur_sigma: float, measure: int,
         # IL at the optimum feeds the global-map update (updateIG uses the
         # last evaluation's IL_old, pose_graph_optimizer.cpp:303); the
         # old/new split runs once here, outside the optimization loop.
-        il_old, il_new = warp_pano.pano_il_split(drotv, win, pano, order)
+        il_old, il_new = warp_pano.pano_il_split(drotv, win, pano, order,
+                                                 precision)
         ig_new, upd_new = _map_epilogue(
             ig_prime, update_times, il_old, knots_new, fov_times,
             t0, dt_knots, pano, order, lut_dev, max_up,
@@ -127,30 +144,28 @@ def _build_window_solver(pano, order: int, blur_sigma: float, measure: int,
 
 @functools.lru_cache(maxsize=None)
 def _build_crop_solver(pano, order: int, blur_sigma: float, measure: int,
-                       o, max_up: int, Hc: int, Wc: int):
+                       o, max_up: int, Hc: int, Wc: int, cam_width: int,
+                       precision: str = "highest"):
     """FOV-crop window solver (module-memoized like _build_window_solver):
     identical protocol but every objective evaluation runs at crop scale."""
     H, W = pano.height, pano.width
 
     @jax.jit
-    def solve(bearings, batch_times, weights, is_old, knots, free_mask,
+    def solve(evd, batch_times, knots, free_mask,
               t0, dt_knots, ig_prime, update_times, fov_times, crop_ints,
               lut_dev):
         K = knots.shape[0]
-        win0 = PanoWindow(
-            bearings=bearings, batch_times=batch_times, weights=weights,
-            is_old=is_old, knots=knots, free_mask=free_mask,
-            t0=t0, dt_knots=dt_knots,
-            ig_prime=ig_prime, alpha=jnp.float32(0.0),
-        )
+        win0 = _unpack_window(evd, batch_times, knots, free_mask, t0,
+                              dt_knots, ig_prime, lut_dev, cam_width)
         win, x0f, y0f, a_crop, mask, out_s1, out_s2 = (
             warp_pano.crop_window_constants(
-                win0, pano, order, blur_sigma, measure, (Hc, Wc), crop_ints
+                win0, pano, order, blur_sigma, measure, (Hc, Wc), crop_ints,
+                precision,
             )
         )
         f, vg = warp_pano.make_crop_objective(
             win, pano, order, blur_sigma, measure, (Hc, Wc),
-            x0f, y0f, a_crop, mask, out_s1, out_s2,
+            x0f, y0f, a_crop, mask, out_s1, out_s2, precision,
         )
         res = optim.minimize_fr_cg(
             vg, jnp.zeros(3 * K, jnp.float32), f_fn=f,
@@ -167,7 +182,7 @@ def _build_crop_solver(pano, order: int, blur_sigma: float, measure: int,
         # full-pano frames for updateIG; plus the optimum's bounding box
         # for the host-side escape check.
         px, py = warp_pano.warp_to_pano(drotv, win, pano, order)
-        valid = weights > 0
+        valid = win.weights > 0
         inf = jnp.asarray(jnp.inf, px.dtype)
         bbox_opt = jnp.stack([
             jnp.min(jnp.where(valid, px, inf)),
@@ -178,7 +193,8 @@ def _build_crop_solver(pano, order: int, blur_sigma: float, measure: int,
         from .ops.scatter import bilinear_accumulate_two
 
         ilo_c, _ = bilinear_accumulate_two(
-            px - x0f, py - y0f, weights, ~is_old, height=Hc, width=Wc,
+            px - x0f, py - y0f, win.weights, ~win.is_old,
+            height=Hc, width=Wc,
         )
         il_old = jax.lax.dynamic_update_slice(
             jnp.zeros((H, W), jnp.float32), ilo_c,
@@ -265,6 +281,12 @@ class Backend:
         self._av_prev: Optional[Tuple[float, np.ndarray]] = None
         # In-flight window solve awaiting its readback (see step()/flush()).
         self._pending_win: Optional[dict] = None
+        # Background readback thread: the packed-result fetch (device wait +
+        # ~25 ms tunnel round trip) overlaps the next stride's host work.
+        self._fetch_pool = ThreadPoolExecutor(max_workers=1)
+        # Batch-finalizer for in-flight front-end estimates in the ang-vel
+        # inbox (set by system.CMaxSLAM to frontend.finalize_batch).
+        self.finalize_fn = None
 
         self.traj: Optional[spline.Trajectory] = None
         self.pose_latest: Optional[Tuple[float, np.ndarray]] = None
@@ -281,7 +303,10 @@ class Backend:
     # ------------------------------------------------------------------
     # Front-end interface (pushAngVel, pose_graph_optimizer.cpp:73-110)
     # ------------------------------------------------------------------
-    def push_ang_vel(self, t: float, omega: np.ndarray) -> None:
+    def push_ang_vel(self, t: float, omega) -> None:
+        """Accepts a (3,) host array OR a frontend.AngVelEstimate whose
+        device results are still in flight — only the timestamp is needed
+        now; values materialize (batched via finalize_fn) at window time."""
         if not self.initialized:
             self.t_win_beg = t
             self.t_win_end = t + self.win_size
@@ -290,7 +315,7 @@ class Backend:
             self.traj = spline.Trajectory(
                 self.t_win_beg, self.cfg.trajectory.dt_knots, self.order
             )
-            self._av_prev = (t, np.asarray(omega, np.float64))
+            self._av_prev = (t, self._av_value(omega))
             theta = math.radians(self.cfg.pano_map.y_angle_deg)
             q0 = np.array(
                 [math.cos(theta / 2.0), 0.0, math.sin(theta / 2.0), 0.0]
@@ -298,7 +323,16 @@ class Backend:
             self.pose_latest = (t, q0)
             self.initialized = True
         self._av_times.append(float(t))
-        self._av_vals.append(np.asarray(omega, np.float64))
+        self._av_vals.append(omega)
+
+    def _av_value(self, omega) -> np.ndarray:
+        """Materialize one inbox entry (estimate or plain array)."""
+        est = getattr(omega, "packed", None)
+        if est is not None and self.finalize_fn is not None:
+            self.finalize_fn([omega])
+        if hasattr(omega, "omega"):
+            return np.asarray(omega.omega, np.float64)
+        return np.asarray(omega, np.float64)
 
     def ready(self) -> bool:
         """isReadyFrontendPoses (pose_graph_optimizer.cpp:112-129)."""
@@ -350,11 +384,18 @@ class Backend:
 
     def _get_ang_vel_subset(self, t_beg: float, t_end: float):
         """(getAngVelSubset, pose_graph_optimizer.cpp:167-189): consume
-        ang-vels in (t_beg, t_end); erase everything up to t_end."""
+        ang-vels in (t_beg, t_end); erase everything up to t_end. In-flight
+        front-end estimates materialize here, batched (one readback)."""
         times = np.asarray(self._av_times)
         lo = int(np.searchsorted(times, t_beg, side="right"))
         hi = int(np.searchsorted(times, t_end, side="left"))
-        sub = [(self._av_times[i], self._av_vals[i]) for i in range(lo, hi)]
+        if self.finalize_fn is not None:
+            pend = [v for v in self._av_vals[lo:hi]
+                    if getattr(v, "packed", None) is not None]
+            if pend:
+                self.finalize_fn(pend)
+        sub = [(self._av_times[i], self._av_value(self._av_vals[i]))
+               for i in range(lo, hi)]
         self._av_times = self._av_times[hi:]
         self._av_vals = self._av_vals[hi:]
         return sub
@@ -465,7 +506,15 @@ class Backend:
     def _complete_pending(self) -> Optional[WindowResult]:
         """Finish the in-flight window solve: one packed readback, knot
         write-back (+ full-pano re-solve if the optimum escaped its crop),
-        map-state promotion, then the usual window bookkeeping."""
+        map-state promotion, then the usual window bookkeeping.
+
+        Deliberately fetches ONLY the window's packed array: the device FIFO
+        executes programs in enqueue order, so this readback waits just for
+        the window program (enqueued a stride ago) while the current
+        stride's packet solves keep draining behind it. (Fusing the ang-vel
+        finalize into this fetch via an eager concat was measured SLOWER —
+        the concat enqueues at the tail of the FIFO and stalls the host
+        behind every queued packet before the window prep can start.)"""
         p = self._pending_win
         if p is None:
             return None
@@ -527,17 +576,22 @@ class Backend:
         t_knot0 = self.traj.knot_time(idx_cp_traj_beg)
         batch_rel = (batch_mid - t_knot0).astype(np.float32)
 
-        idx = ys_p * self.cam_width + xs_p
-        bearings = np.ascontiguousarray(self.lut[idx].T)  # (3, N) lane-major
+        # One packed upload [xs | ys | weight | is_old]; the (3, N) bearing
+        # gather runs on device inside the solver (the host gather + 3x
+        # larger transfer used to cost ~15 ms per window).
+        evd = np.zeros((4, size), np.float32)
+        evd[0] = xs_p
+        evd[1] = ys_p
+        evd[2] = valid
+        evd[3] = is_old & valid
 
         return {
-            "bearings": jnp.asarray(bearings),
+            "evd": jnp.asarray(evd),
             "batch_times": jnp.asarray(batch_rel),
-            "weights": jnp.asarray(valid.astype(np.float32)),
-            "is_old": jnp.asarray(is_old & valid),
             "size": size,
-            # numpy copies for host-side planning (crop bbox) — no dispatch
-            "np_bearings": bearings,
+            # numpy views for host-side planning (crop bbox) — no dispatch
+            "np_xs": xs_p,
+            "np_ys": ys_p,
             "np_batch_rel": batch_rel,
             "np_valid": valid,
         }
@@ -549,7 +603,8 @@ class Backend:
         return _build_window_solver(
             self.pano, self.order, self.cfg.warp.blur_sigma,
             self.cfg.contrast_measure, self.cfg.optim,
-            self.cfg.pano_map.max_update_times,
+            self.cfg.pano_map.max_update_times, self.cam_width,
+            self.cfg.warp.precision,
         )
 
     # Crop-dimension ladder: coarse buckets bound the number of compiled
@@ -567,27 +622,30 @@ class Backend:
         s = 1 if self.cfg.contrast_measure == IMAGE_GRADIENT_MAGNITUDE_CONTRAST else 0
         return r + s
 
-    def _host_bbox(self, np_bearings, np_batch_rel, np_valid, knots_sub):
+    def _host_bbox(self, np_xs, np_ys, np_batch_rel, np_valid, knots_sub):
         """Zero-increment warp bounding box in pure numpy (crop planning).
 
         Subsampled for big windows: the pad margin (>= 34 px) dwarfs the
         subsampling error, and the post-solve escape check uses the exact
-        device-computed bbox anyway."""
+        device-computed bbox anyway. Bearings are gathered from the LUT for
+        the subsample only (the full gather runs on device in the solver)."""
         B = len(np_batch_rel)
-        E = np_bearings.shape[1] // B
+        E = len(np_xs) // B
         bstride = max(1, B // 2048)
         q = spline.evaluate_np(
             knots_sub, np_batch_rel[::bstride], 0.0,
             self.cfg.trajectory.dt_knots, self.order,
         )
         R = spline._np_quat_rotmat_batch(q)  # (Bs, 3, 3)
-        b = np_bearings.reshape(3, B, E)[:, ::bstride, :]
-        valid = np_valid.reshape(B, E)[::bstride]
         estride = max(1, E // 16)
-        b = b[:, :, ::estride]
-        valid = valid[:, ::estride]
+        sub2 = np.s_[::bstride, ::estride]
+        xs = np_xs.reshape(B, E)[sub2]
+        ys = np_ys.reshape(B, E)[sub2]
+        valid = np_valid.reshape(B, E)[sub2]
         if not valid.any():
             return None
+        idx = ys.astype(np.int64) * self.cam_width + xs.astype(np.int64)
+        b = np.moveaxis(self.lut[idx], -1, 0)  # (3, Bs, Es)
         x = R[:, 0, 0, None] * b[0] + R[:, 0, 1, None] * b[1] + R[:, 0, 2, None] * b[2]
         y = R[:, 1, 0, None] * b[0] + R[:, 1, 1, None] * b[1] + R[:, 1, 2, None] * b[2]
         z = R[:, 2, 0, None] * b[0] + R[:, 2, 1, None] * b[1] + R[:, 2, 2, None] * b[2]
@@ -610,8 +668,8 @@ class Backend:
         degrades to a full-axis band or the full image automatically.
         """
         bbox = self._host_bbox(
-            arrays["np_bearings"], arrays["np_batch_rel"], arrays["np_valid"],
-            knots_sub,
+            arrays["np_xs"], arrays["np_ys"], arrays["np_batch_rel"],
+            arrays["np_valid"], knots_sub,
         )
         if bbox is None or not np.all(np.isfinite(bbox)):
             return None
@@ -683,7 +741,8 @@ class Backend:
         return _build_crop_solver(
             self.pano, self.order, self.cfg.warp.blur_sigma,
             self.cfg.contrast_measure, self.cfg.optim,
-            self.cfg.pano_map.max_update_times, Hc, Wc,
+            self.cfg.pano_map.max_update_times, Hc, Wc, self.cam_width,
+            self.cfg.warp.precision,
         )
 
     def _dispatch_window_solve(self, xs, ys, ts, idx_cp_traj_beg, num_fixed):
@@ -707,8 +766,8 @@ class Backend:
         t_knot0 = self.traj.knot_time(idx_cp_traj_beg)
         fov_rel = self._fov_times_rel(t_knot0, n_real)
         args = (
-            arrays["bearings"], arrays["batch_times"], arrays["weights"],
-            arrays["is_old"], jnp.asarray(sub.astype(np.float32)),
+            arrays["evd"], arrays["batch_times"],
+            jnp.asarray(sub.astype(np.float32)),
             jnp.asarray(free), jnp.float32(0.0),
             jnp.float32(self.cfg.trajectory.dt_knots),
             self.IG, self.update_times, jnp.asarray(fov_rel),
@@ -727,16 +786,20 @@ class Backend:
             packed=packed, ig_new=ig_new, upd_new=upd_new, plan=plan,
             args=args, size=size, K=K, n_real=n_real,
             idx_cp_traj_beg=idx_cp_traj_beg,
+            future=self._fetch_pool.submit(np.asarray, packed),
         )
 
-    def _finish_solve(self, p) -> Tuple[float, float, int]:
-        """Complete a dispatched window solve: single packed readback
-        [4K knots | 8 stats], crop-escape re-solve if needed, then knot
-        write-back (incrementalUpdate on the live trajectory,
+    def _finish_solve(self, p, packed=None) -> Tuple[float, float, int]:
+        """Complete a dispatched window solve given its packed readback
+        [4K knots | 8 stats] (fetched here if not already part of a fused
+        readback), crop-escape re-solve if needed, then knot write-back
+        (incrementalUpdate on the live trajectory,
         global_optim_contrast_gsl.cpp:130) and device-resident map
         promotion."""
         K = p["K"]
-        packed = np.asarray(p["packed"])
+        if packed is None:
+            fut = p.get("future")
+            packed = fut.result() if fut is not None else np.asarray(p["packed"])
         knots_new, stats = packed[: 4 * K].reshape(K, 4), packed[4 * K:]
         ig_new, upd_new = p["ig_new"], p["upd_new"]
         if p["plan"] is not None:

@@ -142,6 +142,7 @@ def main(argv=None) -> int:
     for chunk in stream_chunks(xs, ys, ts, ps, args.chunk_size):
         ests = slam.push_events(*chunk)
         if iwe_every > 0:
+            slam.frontend.finalize_batch(ests)
             for est in ests:
                 iwe_done += 1
                 if (iwe_done - 1) % iwe_every or est.num_events == 0:

@@ -25,6 +25,12 @@ class WarpOptions:
     blur_sigma: float = 1.0
     event_batch_size: int = 100
     event_sample_rate: int = 1
+    # MXU precision of the vote/blur matmuls: "highest" = f32-exact
+    # (6-pass), "high" = ~3-pass, "default" = single bf16 pass (~3x faster,
+    # rel. err ~1e-3 on the IWE — no measurable trajectory-RMS change on the
+    # synthetic suites). The reference computes in f64 on CPU; "highest" is
+    # the parity setting, "default" the throughput setting.
+    precision: str = "highest"
 
 
 @dataclass(frozen=True)
@@ -65,7 +71,11 @@ class OptimOptions:
     line_search_tol: float = 0.05  # directional-derivative reduction factor
     grad_tol: float = 1e-3  # front-end; back-end uses 1e-4
     fun_tol: float = 1e-4
-    max_fevals_per_linesearch: int = 16
+    # Bracket budget per line search (our bidirectional ladder, not a GSL
+    # knob): 10 spans step scales 2^-2..2^3 before declaring no-progress.
+    # Warm-started solves bracket in 1-3 evals; measured on v5e, 16 -> 10
+    # cuts the warm packet solve ~30% with no accuracy change.
+    max_fevals_per_linesearch: int = 10
 
 
 @dataclass(frozen=True)
@@ -93,8 +103,16 @@ class BackendConfig:
     warp: WarpOptions = field(default_factory=WarpOptions)
     trajectory: TrajectoryOptions = field(default_factory=TrajectoryOptions)
     pano_map: PanoMapOptions = field(default_factory=PanoMapOptions)
+    # initial_step: the BA optimizes small left-perturbations of knots that
+    # the front-end integration already placed well (increments re-zeroed
+    # per window, global_optim_contrast_gsl.cpp:36-37); typical optima are
+    # ~1e-3..1e-2 rad, so starting the bracket ladder at 0.02 saves ~4
+    # function evaluations per line search vs 0.1 (the ladder still doubles
+    # upward for large corrections).
     optim: OptimOptions = field(
-        default_factory=lambda: OptimOptions(grad_tol=1e-4, line_search_tol=0.1)
+        default_factory=lambda: OptimOptions(
+            grad_tol=1e-4, line_search_tol=0.1, initial_step=0.02,
+        )
     )
     show_iwe: bool = False
     draw_fov: bool = False

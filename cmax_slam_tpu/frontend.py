@@ -20,6 +20,7 @@ Packet semantics mirror the reference exactly (ang_vel_estimator.cpp:68-135):
 from __future__ import annotations
 
 import functools
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Tuple
 
@@ -36,7 +37,8 @@ from .utils.metrics import Metrics, logger
 
 @functools.lru_cache(maxsize=None)
 def _build_packet_solver(cam, batch_size: int, blur_sigma: float,
-                         measure: int, o, coarse_to_fine: bool):
+                         measure: int, o, coarse_to_fine: bool,
+                         precision: str = "highest"):
     """Fused packet-assembly + CMax solve as ONE jitted program.
 
     Module-memoized so Frontend instances share compiled executables, and
@@ -60,7 +62,8 @@ def _build_packet_solver(cam, batch_size: int, blur_sigma: float,
 
         def make_f(sigma):
             def f(omega):
-                iwe = warp_local.local_iwe(omega, packet, cam, sigma)
+                iwe = warp_local.local_iwe(omega, packet, cam, sigma,
+                                           precision)
                 return -contrast(iwe, measure)
             return f
 
@@ -109,6 +112,8 @@ class AngVelEstimate:
     # over a remote-device tunnel; readback count, not bytes, is what the
     # streaming loop must minimize).
     packed: object = None
+    # (future, index) of a background prefetch covering this estimate.
+    prefetch: object = None
 
 
 class Frontend:
@@ -133,6 +138,10 @@ class Frontend:
         self.packet_size = ((self.packet_size + bs - 1) // bs) * bs
 
         self._initialized = False
+        # Finalize (fetch) packet results as they are returned. The system
+        # loop disables this and finalizes lazily — in one stacked readback —
+        # only when the back-end actually consumes the angular velocities.
+        self.auto_finalize = True
         self._t0: float = 0.0  # stream epoch: all device times are t - _t0
         self._cursor: float = 0.0  # time_get_subset_
         self._t_packet: float = 0.0  # time_packet_
@@ -143,6 +152,12 @@ class Frontend:
         # 1-deep solve pipeline: the estimate whose device arrays are still
         # in flight (dispatching packet k overlaps packet k-1's solve).
         self._inflight: Optional[AngVelEstimate] = None
+        # Background readback thread (device_get releases the GIL during the
+        # transfer, so prefetching overlaps the wait — device compute + the
+        # ~25 ms tunnel round trip — with the host's packet prep; the
+        # reference gets the same overlap from its worker thread,
+        # src/cmax_slam.cpp:92).
+        self._fetch_pool = ThreadPoolExecutor(max_workers=1)
         self._solve = self._build_solver()
 
     @property
@@ -160,6 +175,7 @@ class Frontend:
         return _build_packet_solver(
             self.cam, cfg.warp.event_batch_size, cfg.warp.blur_sigma,
             cfg.contrast_measure, cfg.optim, cfg.coarse_to_fine,
+            cfg.warp.precision,
         )
 
     # ------------------------------------------------------------------
@@ -217,20 +233,40 @@ class Frontend:
     def _finalize(self, est: "AngVelEstimate") -> "AngVelEstimate":
         """Materialize a pipelined estimate's device results on host."""
         if est is not None and est.packed is not None:
-            vals = np.asarray(est.packed)
+            if est.prefetch is not None:
+                fut, i = est.prefetch
+                vals = fut.result()[i]
+                est.prefetch = None
+            else:
+                vals = np.asarray(est.packed)
             est.omega = vals[:3].astype(np.float64)
             est.cost = float(vals[3])
             est.iters = int(vals[4])
             est.packed = None
         return est
 
-    def _finalize_batch(self, ests: List["AngVelEstimate"]) -> None:
+    def finalize_batch(self, ests: List["AngVelEstimate"]) -> None:
         """Materialize many estimates with ONE stacked device->host fetch
         (readback round trips dominate streaming wall time on remote
         devices; see AngVelEstimate.packed)."""
         pend = [e for e in ests if e.packed is not None]
+        # Estimates covered by a background prefetch resolve from its future.
+        for e in list(pend):
+            if e.prefetch is not None:
+                fut, i = e.prefetch
+                v = fut.result()[i]
+                e.omega = v[:3].astype(np.float64)
+                e.cost = float(v[3])
+                e.iters = int(v[4])
+                e.packed = None
+                e.prefetch = None
+                pend.remove(e)
         if len(pend) > 1:
-            vals = np.asarray(jnp.stack([e.packed for e in pend]))
+            # device_get on a LIST is one transfer RPC for all arrays, and
+            # unlike an eager jnp.stack it enqueues no new device program
+            # (which would land at the tail of the device FIFO and wait for
+            # every queued solve).
+            vals = jax.device_get([e.packed for e in pend])
             for e, v in zip(pend, vals):
                 e.omega = v[:3].astype(np.float64)
                 e.cost = float(v[3])
@@ -238,6 +274,18 @@ class Frontend:
                 e.packed = None
         elif pend:
             self._finalize(pend[0])
+
+    def _prefetch(self, ests: List["AngVelEstimate"]) -> None:
+        """Start a background readback of in-flight packet results."""
+        pend = [e for e in ests
+                if e.packed is not None and e.prefetch is None]
+        if not pend:
+            return
+        fut = self._fetch_pool.submit(
+            jax.device_get, [e.packed for e in pend]
+        )
+        for i, e in enumerate(pend):
+            e.prefetch = (fut, i)
 
     def _process_ready_packets(self) -> List[AngVelEstimate]:
         out = []
@@ -252,7 +300,10 @@ class Frontend:
         if self._inflight is not None:
             out.append(self._inflight)
             self._inflight = None
-        self._finalize_batch(out)
+        if self.auto_finalize:
+            self.finalize_batch(out)
+        else:
+            self._prefetch(out)
         return out
 
     def _process_packet(self, beg: int, end: int) -> AngVelEstimate:

@@ -162,10 +162,13 @@ def _ev_spec(lane):
 
 
 def _resolve(precision: str):
-    """precision 'highest' -> f32-accurate MXU passes; 'default' -> fast
-    single-pass (bf16-rounded inputs, ~3x faster, rel err ~1e-3)."""
+    """precision 'highest' -> f32-accurate MXU passes; 'high' -> ~3-pass
+    (f32-ish, ~2x faster); 'default' -> fast single pass (bf16-rounded
+    inputs, ~3x faster, rel err ~1e-3)."""
     if precision == "highest":
         return jnp.float32, jax.lax.Precision.HIGHEST
+    if precision == "high":
+        return jnp.float32, jax.lax.Precision.HIGH
     return jnp.float32, jax.lax.Precision.DEFAULT
 
 

@@ -61,6 +61,11 @@ class CMaxSLAM:
         )
         if self.backend is not None:
             self.backend.retain_from_fn = self.frontend.min_needed_abs_index
+            # Lazy finalize: packet results stay on device until the back-end
+            # integrates them (one stacked readback per window) instead of
+            # one readback per pushed chunk.
+            self.frontend.auto_finalize = False
+            self.backend.finalize_fn = self.frontend.finalize_batch
         self._decim_phase = 0
 
     # ------------------------------------------------------------------
@@ -79,7 +84,9 @@ class CMaxSLAM:
         estimates = self.frontend.push_events(xs, ys, ts, ps)
         if self.backend is not None:
             for est in estimates:
-                self.backend.push_ang_vel(est.t, est.omega)
+                # The estimate may still be in flight on device; the back-end
+                # materializes it (batched) when the window integrates it.
+                self.backend.push_ang_vel(est.t, est)
             while self.backend.ready():
                 self.backend.step()
         return estimates
@@ -98,6 +105,7 @@ class CMaxSLAM:
         es = self.frontend.estimates
         if not es:
             return np.zeros((0, 4))
+        self.frontend.finalize_batch(es)
         return np.array([[e.t, *e.omega] for e in es])
 
     @property
