@@ -335,11 +335,20 @@ class Backend:
         return np.asarray(omega, np.float64)
 
     def ready(self) -> bool:
-        """isReadyFrontendPoses (pose_graph_optimizer.cpp:112-129)."""
+        """isReadyFrontendPoses (pose_graph_optimizer.cpp:112-129).
+
+        The reference's second condition — a non-empty event-subset map
+        (:118) — is the shared EventStore holding events past the window
+        end; events always precede their packet's angular velocity in our
+        single ingest path, but the check is kept explicit so the invariant
+        holds even if ang-vels are pushed out-of-band (e.g. replayed from a
+        checkpointed log)."""
         return (
             self.initialized
             and len(self._av_times) > 0
             and self._av_times[-1] > self.t_win_end
+            and self.store.total > 0
+            and self.store.latest_time() >= self.t_win_end
         )
 
     def step(self) -> Optional[WindowResult]:

@@ -72,10 +72,12 @@ class OptimOptions:
     grad_tol: float = 1e-3  # front-end; back-end uses 1e-4
     fun_tol: float = 1e-4
     # Bracket budget per line search (our bidirectional ladder, not a GSL
-    # knob): 10 spans step scales 2^-2..2^3 before declaring no-progress.
-    # Warm-started solves bracket in 1-3 evals; measured on v5e, 16 -> 10
-    # cuts the warm packet solve ~30% with no accuracy change.
-    max_fevals_per_linesearch: int = 10
+    # knob): 16 spans step scales 2^-4..2^4 before declaring no-progress.
+    # Warm-started solves bracket in 1-3 evals so the cap rarely binds —
+    # but cutting it to 10 was measured to lock the FIRST back-end windows
+    # into their integrator error (cubic e2e RMS 0.6 -> 3.8 deg): the big
+    # first-window corrections need the ladder's outer rungs. Keep 16.
+    max_fevals_per_linesearch: int = 16
 
 
 @dataclass(frozen=True)
@@ -103,16 +105,14 @@ class BackendConfig:
     warp: WarpOptions = field(default_factory=WarpOptions)
     trajectory: TrajectoryOptions = field(default_factory=TrajectoryOptions)
     pano_map: PanoMapOptions = field(default_factory=PanoMapOptions)
-    # initial_step: the BA optimizes small left-perturbations of knots that
-    # the front-end integration already placed well (increments re-zeroed
-    # per window, global_optim_contrast_gsl.cpp:36-37); typical optima are
-    # ~1e-3..1e-2 rad, so starting the bracket ladder at 0.02 saves ~4
-    # function evaluations per line search vs 0.1 (the ladder still doubles
-    # upward for large corrections).
+    # NOTE: initial_step stays at the front-end's 0.1 even though BA
+    # increments are tiny (~1e-3..1e-2 rad): starting the bracket ladder
+    # small makes early line-search improvements small, which trips the
+    # GSL relative-stagnation test (fun_tol) after 1-2 iterations and
+    # leaves the first cubic windows under-refined (measured: 0.02 start
+    # degraded cubic e2e RMS 0.6 -> 3.8 deg for no wall-clock gain).
     optim: OptimOptions = field(
-        default_factory=lambda: OptimOptions(
-            grad_tol=1e-4, line_search_tol=0.1, initial_step=0.02,
-        )
+        default_factory=lambda: OptimOptions(grad_tol=1e-4, line_search_tol=0.1)
     )
     show_iwe: bool = False
     draw_fov: bool = False

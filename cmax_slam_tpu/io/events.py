@@ -30,6 +30,7 @@ class EventStore:
         self._ts = np.empty(0, np.float64)
         self._ps = np.empty(0, np.int8)
         self.base = 0  # absolute index of self._xs[0]
+        self._t_last = -np.inf  # newest timestamp ever appended
 
     def __len__(self) -> int:
         return self.base + len(self._xs)
@@ -49,6 +50,12 @@ class EventStore:
         self._ys = np.concatenate([self._ys, ys])
         self._ts = np.concatenate([self._ts, ts])
         self._ps = np.concatenate([self._ps, ps])
+        if len(ts):
+            self._t_last = float(ts[-1])
+
+    def latest_time(self) -> float:
+        """Newest timestamp ever appended (survives prefix retirement)."""
+        return self._t_last
 
     def slice_abs(self, a: int, b: int):
         """Events with absolute indices in [a, b). Clipped to what's stored."""

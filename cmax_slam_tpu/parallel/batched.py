@@ -78,8 +78,7 @@ def cut_packets(
         count = int(idx) + 1
         beg = max(count - half, 0)
         end = count + half
-        t_packet = cursor0 + k * cfg.dt_ang_vel - 0.5 * cfg.dt_ang_vel \
-            + 0.5 * cfg.dt_ang_vel  # grid time t0 + dt/2 + k*dt
+        # rigid output grid: t0 + dt/2 + k*dt (ang_vel_estimator.cpp:84-97)
         t_packet = t0 + 0.5 * cfg.dt_ang_vel + k * cfg.dt_ang_vel
         b, tr, w = native.gather_packet(
             xs, ys, ts, beg, end, S, lut, cam.width, t_packet
