@@ -237,12 +237,19 @@ class Backend:
         store: EventStore,
         frontend_sample_rate: int = 1,
         metrics: Optional[Metrics] = None,
+        device=None,
     ):
         self.cfg = cfg
         self.store = store
         self.metrics = metrics if metrics is not None else Metrics()
+        # Optional device pinning: run ALL back-end programs (window solves,
+        # map state) on their own chip so the bundle adjustment overlaps the
+        # front-end's packet solves in hardware — the TPU-native analog of
+        # the reference's dedicated worker thread (src/cmax_slam.cpp:92).
+        self.device = device
         self.lut = np.asarray(lut, np.float32)
-        self.lut_dev = jnp.asarray(self.lut)
+        with self._on_device():
+            self.lut_dev = jnp.asarray(self.lut)
         self.cam_width = cam_width
         self.cam_height = cam_height
 
@@ -255,8 +262,11 @@ class Backend:
         # the per-window updates (IG absorption, FOV update counts) run
         # inside the window-solve program, so the multi-megabyte maps never
         # cross the host-device boundary during streaming.
-        self.IG = jnp.zeros((m.pano_height, m.pano_width), jnp.float32)
-        self.update_times = jnp.zeros((m.pano_height, m.pano_width), jnp.int32)
+        with self._on_device():
+            self.IG = jnp.zeros((m.pano_height, m.pano_width), jnp.float32)
+            self.update_times = jnp.zeros(
+                (m.pano_height, m.pano_width), jnp.int32
+            )
 
         # Sliding-window cursors
         sw = cfg.sliding_window
@@ -299,6 +309,15 @@ class Backend:
         # static window-knot count: round(win/dt) + degree
         self.K_win = int(round(self.win_size / cfg.trajectory.dt_knots)) + self.degree
         self._crop_shapes: set = set()  # (Hc, Wc) of compiled crop solvers
+
+    def _on_device(self):
+        """Context manager pinning jax dispatches to this back-end's device
+        (no-op when unpinned)."""
+        import contextlib
+
+        if self.device is None:
+            return contextlib.nullcontext()
+        return jax.default_device(self.device)
 
     # ------------------------------------------------------------------
     # Front-end interface (pushAngVel, pose_graph_optimizer.cpp:73-110)
@@ -546,10 +565,16 @@ class Backend:
         rate = cfg.warp.event_sample_rate
         n = len(ts)
 
-        # Static bucket: pad event count (and batch count) to a power of two
-        # so only a handful of window shapes ever compile.
+        # Static bucket: pad event count to bs * {1, 1.5} * 2^k so only a
+        # handful of window shapes ever compile while padding waste stays
+        # under 33% (pure powers of two waste up to 50% — at a typical
+        # 60k-event window that is a quarter of the whole solve cost).
+        need = min(n, cfg.max_events_per_window)
         size = bs
-        while size < min(n, cfg.max_events_per_window):
+        while size < need:
+            if size * 3 // 2 >= need and (size // bs) % 2 == 0:
+                size = size * 3 // 2
+                break
             size *= 2
         size = min(size, ((cfg.max_events_per_window + bs - 1) // bs) * bs)
         n_use = min(n, size)
@@ -757,6 +782,13 @@ class Backend:
     def _dispatch_window_solve(self, xs, ys, ts, idx_cp_traj_beg, num_fixed):
         """Marshal the window and ENQUEUE its solve; no blocking readback.
         Returns the pending-completion record for _finish_solve."""
+        with self._on_device():
+            return self._dispatch_window_solve_impl(
+                xs, ys, ts, idx_cp_traj_beg, num_fixed
+            )
+
+    def _dispatch_window_solve_impl(self, xs, ys, ts, idx_cp_traj_beg,
+                                    num_fixed):
         arrays = self._window_arrays(xs, ys, ts, idx_cp_traj_beg)
         size = arrays.pop("size")
 
@@ -820,7 +852,8 @@ class Backend:
                 )
                 self.metrics.count("backend.crop_escapes", 1)
                 solve = self._get_solver(p["size"], K)
-                packed, ig_new, upd_new = solve(*p["args"], self.lut_dev)
+                with self._on_device():
+                    packed, ig_new, upd_new = solve(*p["args"], self.lut_dev)
                 packed = np.asarray(packed)
                 knots_new, stats = (packed[: 4 * K].reshape(K, 4),
                                     packed[4 * K:])
@@ -898,8 +931,11 @@ class Backend:
                 float(d["traj_t_beg"]), self.cfg.trajectory.dt_knots, self.order
             )
             self.traj.push_ctrl_poses(knots)
-        self.IG = jnp.asarray(np.asarray(d["IG"], np.float32))
-        self.update_times = jnp.asarray(np.asarray(d["update_times"], np.int32))
+        with self._on_device():
+            self.IG = jnp.asarray(np.asarray(d["IG"], np.float32))
+            self.update_times = jnp.asarray(
+                np.asarray(d["update_times"], np.int32)
+            )
         self.count_window = int(d["count_window"])
         self.t_win_beg = float(d["t_win_beg"])
         self.t_win_end = float(d["t_win_end"])

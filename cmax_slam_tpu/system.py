@@ -32,7 +32,13 @@ class CMaxSLAM:
         calib: CameraCalibration,
         cfg: Optional[SystemConfig] = None,
         run_backend: bool = True,
+        backend_device=None,
     ):
+        """``backend_device``: optionally pin the back-end's programs and
+        map state to a second chip so bundle adjustment runs concurrently
+        with the front-end's packet solves — the hardware mapping of the
+        reference's worker thread (src/cmax_slam.cpp:92). With one device
+        (or None) everything shares the default device."""
         self.cfg = cfg if cfg is not None else SystemConfig()
         self.calib = calib
         self.metrics = Metrics()
@@ -55,6 +61,7 @@ class CMaxSLAM:
                 store=self.store,
                 frontend_sample_rate=self.cfg.frontend_event_sample_rate,
                 metrics=self.metrics,
+                device=backend_device,
             )
             if run_backend
             else None

@@ -23,9 +23,11 @@ from cmax_slam_tpu import spline
 
 W, H = 240, 180
 FX = FY = 180.0
-RATE = 500_000            # events/s (shapes_rotation-like)
+# Default 390k ev/s matches shapes_rotation's mean rate (~23M events/59.8 s,
+# the sequence ijrr.launch replays at rate 1.0); override with RT_RATE.
+RATE = int(os.environ.get("RT_RATE", 390_000))  # events/s
 DURATION = 6.0            # seconds of stream
-CHUNK = 50_000            # feed granularity (~0.1 s of stream)
+CHUNK = RATE // 10        # feed granularity (~0.1 s of stream)
 
 rng = np.random.default_rng(11)
 omega_true = np.array([0.9, -1.3, 1.9])
