@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import functools
 import math
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -118,6 +117,7 @@ def _build_window_solver(pano, order: int, blur_sigma: float, measure: int,
             grad_tol=o.grad_tol,
             fun_tol=o.fun_tol,
             max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+            stagnation_patience=o.stagnation_patience,
         )
         drotv = res.x.reshape(K, 3)
         knots_new = spline.apply_masked_increments(knots, drotv, free_mask)
@@ -175,6 +175,7 @@ def _build_crop_solver(pano, order: int, blur_sigma: float, measure: int,
             grad_tol=o.grad_tol,
             fun_tol=o.fun_tol,
             max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+            stagnation_patience=o.stagnation_patience,
         )
         drotv = res.x.reshape(K, 3)
         knots_new = spline.apply_masked_increments(knots, drotv, free_mask)
@@ -290,10 +291,12 @@ class Backend:
         self._av_vals: List[np.ndarray] = []
         self._av_prev: Optional[Tuple[float, np.ndarray]] = None
         # In-flight window solve awaiting its readback (see step()/flush()).
+        # The readback happens on the MAIN thread, fused with the stride's
+        # ang-vel finalize into ONE device_get RPC (_fused_fetch): round-3
+        # profiling showed a background-thread np.asarray resolving ~5x
+        # slower (~140 ms) than a main-thread fetch of the same completed
+        # result (~26 ms) when the main thread keeps dispatching.
         self._pending_win: Optional[dict] = None
-        # Background readback thread: the packed-result fetch (device wait +
-        # ~25 ms tunnel round trip) overlaps the next stride's host work.
-        self._fetch_pool = ThreadPoolExecutor(max_workers=1)
         # Batch-finalizer for in-flight front-end estimates in the ang-vel
         # inbox (set by system.CMaxSLAM to frontend.finalize_batch).
         self.finalize_fn = None
@@ -370,27 +373,28 @@ class Backend:
             and self.store.latest_time() >= self.t_win_end
         )
 
-    def step(self) -> Optional[WindowResult]:
+    def step(self) -> List[WindowResult]:
         """One Run-loop iteration (pose_graph_optimizer.cpp:356-376).
 
         Completes the previous window's in-flight solve (its device program
         ran while the host streamed the last stride), then dispatches this
-        window's. Returns the window COMPLETED during this call, if any."""
+        window's. Returns every window COMPLETED during this call — usually
+        one, but a BA-skipped current window can complete together with the
+        previous window's in-flight solve."""
         if not self.ready():
-            return None
+            return []
+        self._fused_fetch()
         done = self._complete_pending()
         ev = self._get_event_subset(self.t_win_beg, self.t_win_end)
         av = self._get_ang_vel_subset(self.t_av_beg, self.t_av_end)
         res = self._process_time_window(ev, av)
         self._slide_window()
-        return res if res is not None else done
+        return [r for r in (done, res) if r is not None]
 
     def run(self) -> List[WindowResult]:
         out = []
         while self.ready():
-            r = self.step()
-            if r is not None:
-                out.append(r)
+            out.extend(self.step())
         tail = self.flush()
         if tail is not None:
             out.append(tail)
@@ -531,18 +535,41 @@ class Backend:
         )
         return res
 
-    def _complete_pending(self) -> Optional[WindowResult]:
-        """Finish the in-flight window solve: one packed readback, knot
-        write-back (+ full-pano re-solve if the optimum escaped its crop),
-        map-state promotion, then the usual window bookkeeping.
+    def _fused_fetch(self) -> None:
+        """ONE device->host RPC per stride: the in-flight window's packed
+        result + every pending ang-vel estimate the upcoming window will
+        integrate, fetched together through frontend.finalize_batch.
 
-        Deliberately fetches ONLY the window's packed array: the device FIFO
-        executes programs in enqueue order, so this readback waits just for
-        the window program (enqueued a stride ago) while the current
-        stride's packet solves keep draining behind it. (Fusing the ang-vel
-        finalize into this fetch via an eager concat was measured SLOWER —
-        the concat enqueues at the tail of the FIFO and stalls the host
-        behind every queued packet before the window prep can start.)"""
+        On the remote-TPU tunnel each blocking readback RPC costs ~25-30 ms
+        regardless of size; the stride loop's realtime budget is set by RPC
+        COUNT. (An eager device-side concat instead of the list-fetch was
+        measured slower in round 2 — it enqueues at the FIFO tail.)"""
+        p = self._pending_win
+        handles = [p["packed"]] if p is not None else []
+        pend_avs = []
+        if self.finalize_fn is not None:
+            times = np.asarray(self._av_times)
+            lo = int(np.searchsorted(times, self.t_av_beg, side="right"))
+            hi = int(np.searchsorted(times, self.t_av_end, side="left"))
+            pend_avs = [v for v in self._av_vals[lo:hi]
+                        if getattr(v, "packed", None) is not None]
+        if not handles and not pend_avs:
+            return
+        with self.metrics.timer("backend.fetch"):
+            if self.finalize_fn is not None:
+                extras = self.finalize_fn(pend_avs, extra_handles=handles)
+            else:
+                import jax as _jax
+
+                extras = _jax.device_get(handles)
+        if p is not None:
+            p["fetched"] = extras[0]
+
+    def _complete_pending(self) -> Optional[WindowResult]:
+        """Finish the in-flight window solve: packed readback (already on
+        host if _fused_fetch ran), knot write-back (+ full-pano re-solve if
+        the optimum escaped its crop), map-state promotion, then the usual
+        window bookkeeping."""
         p = self._pending_win
         if p is None:
             return None
@@ -556,6 +583,12 @@ class Backend:
         Call before reading results/trajectory/maps mid-stream (the final
         state accessors on CMaxSLAM flush automatically)."""
         return self._complete_pending()
+
+    def close(self) -> Optional[WindowResult]:
+        """Flush any in-flight window. Kept as the retire-an-instance entry
+        point (segment-per-device replay closes each system); the back-end
+        holds no background threads since the fused main-thread fetch."""
+        return self.flush()
 
     # ------------------------------------------------------------------
     def _window_arrays(self, xs, ys, ts, idx_cp_traj_beg):
@@ -578,6 +611,16 @@ class Backend:
             size *= 2
         size = min(size, ((cfg.max_events_per_window + bs - 1) // bs) * bs)
         n_use = min(n, size)
+        if n_use < n:
+            # Never truncate silently: a dense window (poster_rotation-scale
+            # bursts) losing votes must be visible in stats.json/logs.
+            self.metrics.count("backend.events_dropped", n - n_use)
+            logger.warning(
+                "[back-end] window %d: %d of %d events dropped by "
+                "max_events_per_window=%d (raise cfg.backend."
+                "max_events_per_window to keep them)",
+                self.count_window, n - n_use, n, cfg.max_events_per_window,
+            )
 
         xs_p = np.zeros(size, np.int32)
         ys_p = np.zeros(size, np.int32)
@@ -827,7 +870,6 @@ class Backend:
             packed=packed, ig_new=ig_new, upd_new=upd_new, plan=plan,
             args=args, size=size, K=K, n_real=n_real,
             idx_cp_traj_beg=idx_cp_traj_beg,
-            future=self._fetch_pool.submit(np.asarray, packed),
         )
 
     def _finish_solve(self, p, packed=None) -> Tuple[float, float, int]:
@@ -839,8 +881,9 @@ class Backend:
         promotion."""
         K = p["K"]
         if packed is None:
-            fut = p.get("future")
-            packed = fut.result() if fut is not None else np.asarray(p["packed"])
+            packed = p.get("fetched")
+        if packed is None:
+            packed = np.asarray(p["packed"])
         knots_new, stats = packed[: 4 * K].reshape(K, 4), packed[4 * K:]
         ig_new, upd_new = p["ig_new"], p["upd_new"]
         if p["plan"] is not None:

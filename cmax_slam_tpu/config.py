@@ -78,6 +78,14 @@ class OptimOptions:
     # into their integrator error (cubic e2e RMS 0.6 -> 3.8 deg): the big
     # first-window corrections need the ladder's outer rungs. Keep 16.
     max_fevals_per_linesearch: int = 16
+    # Consecutive stalls (GSL stagnation test or failed bracket) required to
+    # STOP; earlier stalls restart the solve with steepest descent + the
+    # bracket ladder re-seeded at initial_step. 1 = exact GSL semantics
+    # (stop on first stall). The back-end BA overrides this (see
+    # BackendConfig.optim): its curved cubic valley accepts occasional tiny
+    # steps that collapse the ladder scale and stall a solve that a fresh
+    # full-scale probe keeps moving (ops/optim.py:make_cg_body).
+    stagnation_patience: int = 1
 
 
 @dataclass(frozen=True)
@@ -94,6 +102,16 @@ class FrontendConfig:
     # 3x-blurred IWE (wider basin of attraction for fast motion from cold
     # starts), then refine at blur_sigma. Costs ~2x per solve; off by default.
     coarse_to_fine: bool = False
+    # Stride batching (TPU-native scheduling; no reference counterpart): when
+    # an ingest chunk completes >= 2 packets, solve them all in ONE vmapped
+    # device program with this many Jacobi warm-start sweeps (sweep 1 starts
+    # every lane from the previous stride's solution, sweep k from the left
+    # neighbor's sweep k-1 result). Objective and convergence tests are
+    # unchanged — only the warm-start schedule differs from the reference's
+    # strictly sequential chain (ang_vel_estimator.cpp keeps ang_vel_ across
+    # packets); measured equal-accuracy at ~5x less device time per stride.
+    # 0 = always use the sequential path.
+    batch_sweeps: int = 2
 
 
 @dataclass(frozen=True)
@@ -112,7 +130,9 @@ class BackendConfig:
     # leaves the first cubic windows under-refined (measured: 0.02 start
     # degraded cubic e2e RMS 0.6 -> 3.8 deg for no wall-clock gain).
     optim: OptimOptions = field(
-        default_factory=lambda: OptimOptions(grad_tol=1e-4, line_search_tol=0.1)
+        default_factory=lambda: OptimOptions(
+            grad_tol=1e-4, line_search_tol=0.1, stagnation_patience=3
+        )
     )
     show_iwe: bool = False
     draw_fov: bool = False

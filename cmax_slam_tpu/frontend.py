@@ -20,7 +20,6 @@ Packet semantics mirror the reference exactly (ang_vel_estimator.cpp:68-135):
 from __future__ import annotations
 
 import functools
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Tuple
 
@@ -76,6 +75,7 @@ def _build_packet_solver(cam, batch_size: int, blur_sigma: float,
                 grad_tol=o.grad_tol,
                 fun_tol=o.fun_tol,
                 max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+                stagnation_patience=o.stagnation_patience,
             )
 
         x0 = omega0
@@ -98,8 +98,115 @@ def _build_packet_solver(cam, batch_size: int, blur_sigma: float,
     return solve
 
 
+@functools.lru_cache(maxsize=None)
+def _build_stride_solver(cam, batch_size: int, blur_sigma: float,
+                         measure: int, o, coarse_to_fine: bool,
+                         precision: str, sweeps: int):
+    """All of a stride's packets as ONE jitted program (TPU-native
+    scheduling; config knob FrontendConfig.batch_sweeps).
+
+    The reference solves packets strictly sequentially, warm-starting each
+    from its predecessor (ang_vel_estimator.cpp:184-189 + member ang_vel_).
+    On TPU that serializes ~10 small latency-bound programs per back-end
+    stride — the single biggest device cost of a realtime replay. Here every
+    lane solves simultaneously (vmapped masked CG — converged lanes freeze,
+    optim.minimize_fr_cg_masked) and the sequential warm-start chain is
+    recovered with Jacobi sweeps: sweep 1 starts every lane from the previous
+    stride's solution, sweep k starts lane i from lane i-1's sweep k-1
+    result. Identical objective, identical convergence tests.
+
+    Votes use the XLA matmul path: vmapping the VMEM-resident Pallas kernel
+    re-launches it per lane (~5x slower), while the batched hat matmuls fuse
+    into one big MXU contraction."""
+
+    def minimize(f, x0, alive, max_ls):
+        return optim.minimize_fr_cg_masked(
+            jax.value_and_grad(f), x0, alive, f_fn=f,
+            max_line_searches=max_ls,
+            initial_step=o.initial_step,
+            line_search_tol=o.line_search_tol,
+            grad_tol=o.grad_tol,
+            fun_tol=o.fun_tol,
+            max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+            stagnation_patience=o.stagnation_patience,
+        )
+
+    @jax.jit
+    def solve(evP, t_refs, omega0, lut):
+        """evP: (P, 4, S); t_refs: (P,); omega0: (3,) previous stride's warm
+        start. Returns (omega_next (3,), packed (P, 5))."""
+        Pn = evP.shape[0]
+        alive = jnp.any(evP[:, 3, :] > 0, axis=1)
+
+        def sweep(evdata, t_ref, om0, alive):
+            def fsig(sigma):
+                xs, ys, ts, validf = (evdata[0], evdata[1], evdata[2],
+                                      evdata[3])
+                valid = validf > 0
+                idx = jnp.where(
+                    valid,
+                    ys.astype(jnp.int32) * cam.width + xs.astype(jnp.int32),
+                    0,
+                )
+                packet = warp_local.EventPacket(
+                    bearings=jnp.take(lut, idx, axis=0),
+                    dts=warp_local.batch_midpoint_dts(
+                        ts, valid, batch_size, t_ref),
+                    weights=validf,
+                )
+
+                def f(omega):
+                    iwe = warp_local.local_iwe(omega, packet, cam, sigma,
+                                               precision, impl="xla")
+                    return -contrast(iwe, measure)
+
+                return f
+
+            x0 = om0
+            iters_coarse = 0
+            if coarse_to_fine:
+                coarse = minimize(fsig(max(blur_sigma, 1.0) * 3.0), x0,
+                                  alive, o.max_line_searches // 2)
+                x0 = coarse.x
+                iters_coarse = coarse.iters
+            res = minimize(fsig(blur_sigma), x0, alive, o.max_line_searches)
+            packed = jnp.concatenate([
+                res.x,
+                jnp.stack([res.fun,
+                           (res.iters + iters_coarse).astype(jnp.float32)]),
+            ])
+            return res.x, packed
+
+        om = jnp.broadcast_to(omega0, (Pn, 3))
+        xs_out, packed = jax.vmap(sweep)(evP, t_refs, om, alive)
+        for _ in range(max(sweeps, 1) - 1):
+            om = jnp.concatenate([omega0[None], xs_out[:-1]], axis=0)
+            # Dead (padding/degenerate) lanes pass their warm start through
+            # so the chain skips them like the sequential path's omega reset.
+            om = jnp.where(alive[:, None], om, 0.0)
+            xs_out, packed = jax.vmap(sweep)(evP, t_refs, om, alive)
+
+        idx_last = jnp.max(jnp.where(alive, jnp.arange(Pn), -1))
+        omega_next = jnp.where(
+            idx_last >= 0, xs_out[jnp.maximum(idx_last, 0)], omega0
+        )
+        return omega_next, packed
+
+    return solve
+
+
 @dataclass
 class AngVelEstimate:
+    """One packet's angular-velocity estimate.
+
+    CONTRACT: while ``packed`` is not None the solve is still in flight on
+    device and ``omega``/``cost``/``iters`` hold placeholders (the device
+    handle / 0.0 / 0). With ``Frontend.auto_finalize`` (the standalone
+    default) estimates returned from push_events are always finalized; in
+    the system loop (auto_finalize=False) they finalize lazily when the
+    back-end consumes them — call ``Frontend.finalize_batch(ests)`` before
+    reading scalar fields of estimates you hold on to."""
+
     t: float
     omega: np.ndarray  # (3,) rad/s
     cost: float
@@ -107,13 +214,11 @@ class AngVelEstimate:
     num_events: int
     span: Tuple[int, int] = (0, 0)  # absolute event-store indices [beg, end)
     # In-flight device results packed as one (5,) array [omega, cost, iters]:
-    # a single host fetch per packet — and one STACKED fetch per chunk —
+    # a single host fetch per packet — and one STACKED fetch per stride —
     # instead of three (each blocking device->host round trip costs ~25 ms
     # over a remote-device tunnel; readback count, not bytes, is what the
     # streaming loop must minimize).
     packed: object = None
-    # (future, index) of a background prefetch covering this estimate.
-    prefetch: object = None
 
 
 class Frontend:
@@ -152,13 +257,18 @@ class Frontend:
         # 1-deep solve pipeline: the estimate whose device arrays are still
         # in flight (dispatching packet k overlaps packet k-1's solve).
         self._inflight: Optional[AngVelEstimate] = None
-        # Background readback thread (device_get releases the GIL during the
-        # transfer, so prefetching overlaps the wait — device compute + the
-        # ~25 ms tunnel round trip — with the host's packet prep; the
-        # reference gets the same overlap from its worker thread,
-        # src/cmax_slam.cpp:92).
-        self._fetch_pool = ThreadPoolExecutor(max_workers=1)
+        # NOTE on fetch strategy: round 2 prefetched in-flight results from a
+        # background thread. Round-3 profiling showed that on the remote-TPU
+        # tunnel a background device_get issued while the main thread keeps
+        # dispatching resolves ~5x SLOWER (~140 ms) than a main-thread fetch
+        # of the same (long-completed) result (~26 ms), so estimates are now
+        # fetched lazily on the MAIN thread, fused into one device_get per
+        # back-end stride (Backend._fused_fetch).
         self._solve = self._build_solver()
+
+    def close(self) -> None:
+        """Kept for API symmetry with Backend.close(); the front-end holds no
+        background resources (fetches are main-thread, fused per stride)."""
 
     @property
     def omega(self) -> np.ndarray:
@@ -230,81 +340,156 @@ class Frontend:
             candidates.append(self._pending[0][0])
         return min(candidates)
 
+    @staticmethod
+    def _assign(est: "AngVelEstimate", vals: np.ndarray) -> None:
+        est.omega = vals[:3].astype(np.float64)
+        est.cost = float(vals[3])
+        est.iters = int(vals[4])
+        est.packed = None
+
     def _finalize(self, est: "AngVelEstimate") -> "AngVelEstimate":
         """Materialize a pipelined estimate's device results on host."""
         if est is not None and est.packed is not None:
-            if est.prefetch is not None:
-                fut, i = est.prefetch
-                vals = fut.result()[i]
-                est.prefetch = None
+            if isinstance(est.packed, tuple):
+                mat, row = est.packed
+                self._assign(est, np.asarray(mat)[row])
             else:
-                vals = np.asarray(est.packed)
-            est.omega = vals[:3].astype(np.float64)
-            est.cost = float(vals[3])
-            est.iters = int(vals[4])
-            est.packed = None
+                self._assign(est, np.asarray(est.packed))
         return est
 
-    def finalize_batch(self, ests: List["AngVelEstimate"]) -> None:
+    def finalize_batch(self, ests: List["AngVelEstimate"],
+                       extra_handles: tuple = ()) -> List[np.ndarray]:
         """Materialize many estimates with ONE stacked device->host fetch
-        (readback round trips dominate streaming wall time on remote
-        devices; see AngVelEstimate.packed)."""
-        pend = [e for e in ests if e.packed is not None]
-        # Estimates covered by a background prefetch resolve from its future.
-        for e in list(pend):
-            if e.prefetch is not None:
-                fut, i = e.prefetch
-                v = fut.result()[i]
-                e.omega = v[:3].astype(np.float64)
-                e.cost = float(v[3])
-                e.iters = int(v[4])
-                e.packed = None
-                e.prefetch = None
-                pend.remove(e)
-        if len(pend) > 1:
-            # device_get on a LIST is one transfer RPC for all arrays, and
-            # unlike an eager jnp.stack it enqueues no new device program
-            # (which would land at the tail of the device FIFO and wait for
-            # every queued solve).
-            vals = jax.device_get([e.packed for e in pend])
-            for e, v in zip(pend, vals):
-                e.omega = v[:3].astype(np.float64)
-                e.cost = float(v[3])
-                e.iters = int(v[4])
-                e.packed = None
-        elif pend:
-            self._finalize(pend[0])
+        (readback round trips, not bytes, dominate streaming wall time on
+        remote devices; see AngVelEstimate.packed).
 
-    def _prefetch(self, ests: List["AngVelEstimate"]) -> None:
-        """Start a background readback of in-flight packet results."""
-        pend = [e for e in ests
-                if e.packed is not None and e.prefetch is None]
-        if not pend:
-            return
-        fut = self._fetch_pool.submit(
-            jax.device_get, [e.packed for e in pend]
-        )
-        for i, e in enumerate(pend):
-            e.prefetch = (fut, i)
+        Stride-batched estimates share one (P, 5) device matrix — each
+        holds ``packed = (matrix, row)``; the matrix is fetched once.
+
+        ``extra_handles``: additional device arrays to ride the same RPC
+        (the back-end fuses its window-result readback in here — one
+        device_get per stride total); their host values are returned."""
+        pend = [e for e in ests if e.packed is not None]
+        mats: List = []
+        mat_rows: dict = {}
+        singles: List = []
+        for e in pend:
+            if isinstance(e.packed, tuple):
+                m = e.packed[0]
+                if id(m) not in mat_rows:
+                    mat_rows[id(m)] = len(mats)
+                    mats.append(m)
+            else:
+                singles.append(e.packed)
+        handles = mats + singles + list(extra_handles)
+        if not handles:
+            return []
+        # device_get on a LIST is one transfer RPC for all arrays, and
+        # unlike an eager jnp.stack it enqueues no new device program
+        # (which would land at the tail of the device FIFO and wait for
+        # every queued solve).
+        vals = jax.device_get(handles)
+        k = len(mats)
+        for e in pend:
+            if isinstance(e.packed, tuple):
+                m, row = e.packed
+                self._assign(e, vals[mat_rows[id(m)]][row])
+            else:
+                self._assign(e, vals[k])
+                k += 1
+        return vals[len(mats) + len(singles):]
 
     def _process_ready_packets(self) -> List[AngVelEstimate]:
-        out = []
+        ready = []
         while self._pending and self.store.total > self._pending[0][1]:
-            beg, end = self._pending.pop(0)
-            est = self._process_packet(beg, end)
-            # hand over the previous in-flight solve; its device work
-            # overlapped this packet's host prep + dispatch
+            ready.append(self._pending.pop(0))
+        if not ready:
+            return []
+        sweeps = self.cfg.batch_sweeps
+        if len(ready) >= 2 and sweeps > 0:
+            out = self._process_packets_batched(ready, sweeps)
+        else:
+            out = []
+            for beg, end in ready:
+                est = self._process_packet(beg, end)
+                # hand over the previous in-flight solve; its device work
+                # overlapped this packet's host prep + dispatch
+                if self._inflight is not None:
+                    out.append(self._inflight)
+                self._inflight = est
             if self._inflight is not None:
                 out.append(self._inflight)
-            self._inflight = est
-        if self._inflight is not None:
-            out.append(self._inflight)
-            self._inflight = None
+                self._inflight = None
         if self.auto_finalize:
             self.finalize_batch(out)
-        else:
-            self._prefetch(out)
         return out
+
+    @staticmethod
+    def _lane_bucket(n: int) -> int:
+        """Pad the lane count to a small bucket set (bounded compile cache)."""
+        for b in (2, 4, 6, 8, 10, 12, 16):
+            if n <= b:
+                return b
+        return ((n + 7) // 8) * 8
+
+    def _get_stride_solver(self, sweeps: int):
+        cfg = self.cfg
+        return _build_stride_solver(
+            self.cam, cfg.warp.event_batch_size, cfg.warp.blur_sigma,
+            cfg.contrast_measure, cfg.optim, cfg.coarse_to_fine,
+            cfg.warp.precision, sweeps,
+        )
+
+    def _process_packets_batched(self, ready, sweeps: int
+                                 ) -> List[AngVelEstimate]:
+        """Solve a whole stride's packets in one vmapped device program
+        (see _build_stride_solver). Packet semantics — centered windows,
+        rigid grid times, degenerate guard — are identical to
+        _process_packet; only the solve scheduling differs."""
+        cfg = self.cfg
+        S = self.packet_size
+        bucket = self._lane_bucket(len(ready))
+        evP = np.zeros((bucket, 4, S), np.float32)
+        t_refs = np.zeros(bucket, np.float32)
+        ests: List[AngVelEstimate] = []
+        solved: List[bool] = []
+        for i, (beg, end) in enumerate(ready):
+            xs, ys, ts, _ = self.store.slice_abs(beg, end)
+            n = len(ts)
+            t_packet = self._t_packet
+            self._t_packet += cfg.dt_ang_vel  # slideWindow
+            t_refs[i] = t_packet - self._t0
+            timespan = float(ts[-1] - ts[0]) if n else 0.0
+            degenerate = timespan > 10.0 * cfg.dt_ang_vel or n < 2
+            est = AngVelEstimate(t=t_packet, omega=np.zeros(3), cost=0.0,
+                                 iters=0, num_events=n, span=(beg, end))
+            if not degenerate:
+                evP[i, 0, :n] = xs
+                evP[i, 1, :n] = ys
+                evP[i, 2, :n] = (ts - self._t0).astype(np.float32)
+                evP[i, 3, :n] = 1.0
+                self.metrics.count("frontend.events", n)
+            solved.append(not degenerate)
+            ests.append(est)
+            self.estimates.append(est)
+
+        solver = self._get_stride_solver(sweeps)
+        with self.metrics.timer("frontend.solve"):
+            omega_next, packed = solver(
+                jnp.asarray(evP), jnp.asarray(t_refs), self._omega_dev,
+                self.lut,
+            )
+        # Warm-start handover; a trailing degenerate packet resets it to zero
+        # exactly like the sequential path (ang_vel_estimator.cpp:108-114).
+        self._omega_dev = (
+            jnp.zeros(3, jnp.float32) if not solved[-1] else omega_next
+        )
+        for i, est in enumerate(ests):
+            if solved[i]:
+                est.packed = (packed, i)
+        logger.debug("[front-end] stride batch of %d packets dispatched",
+                     len(ready))
+        return ests
 
     def _process_packet(self, beg: int, end: int) -> AngVelEstimate:
         cfg = self.cfg

@@ -144,6 +144,8 @@ def _run_round(bearings, dts, weights, states, cam, blur_sigma, measure, opt,
             grad_tol=opt.grad_tol,
             fun_tol=opt.fun_tol,
             max_fevals_per_linesearch=opt.max_fevals_per_linesearch,
+            stagnation_patience=opt.stagnation_patience,
+            initial_step=opt.initial_step,
         )
         return optim.cg_run_rounds(body, s, round_iters,
                                    opt.max_line_searches)
@@ -205,7 +207,7 @@ def track_batched_compacted(
         if sweep > 0:
             omega0 = np.concatenate([omegas[:1], omegas[:-1]], axis=0)
             bearings, dts, weights = batch.bearings, batch.dts, batch.weights
-            precision = "highest"
+            precision = cfg.warp.precision
         else:
             omega0 = np.zeros((Pn, 3), np.float32)
             # Cold sweep only seeds the warm sweep: decimate events and drop
@@ -216,7 +218,7 @@ def track_batched_compacted(
             bearings = batch.bearings[:, ::k]
             dts = batch.dts[:, ::k]
             weights = batch.weights[:, ::k]
-            precision = "highest" if final else cold_precision
+            precision = cfg.warp.precision if final else cold_precision
         st_dev = _init_states(
             bearings, dts, weights, jnp.asarray(omega0),
             cam, blur_sigma, measure, opt, precision,

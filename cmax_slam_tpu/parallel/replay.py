@@ -128,6 +128,15 @@ def replay_multichip(
                 )
             seg.cursor = end
 
+    # Join every segment's in-flight back-end window BEFORE stitching: the
+    # asynchronous back-end almost always ends a feed with one pending solve
+    # whose refined knots cover exactly the trajectory tail the Procrustes
+    # alignment samples. close() also releases each segment's readback
+    # threads (one system per device would otherwise pin one thread each for
+    # the life of the process).
+    for seg in segs:
+        seg.slam.close()
+
     return stitch_segments(segs, sample_dt) + (segs,)
 
 
@@ -138,6 +147,8 @@ def stitch_segments(segs: List[Segment], sample_dt: float = 0.01):
     all_t: List[np.ndarray] = []
     all_q: List[np.ndarray] = []
     prev = None
+    for seg in segs:
+        seg.slam.flush()  # idempotent; guards direct stitch_segments callers
     for seg in segs:
         traj = seg.slam.backend.traj
         lo = max(seg.t_keep_lo, traj.t_beg + 1e-6)

@@ -79,7 +79,12 @@ class CMaxSLAM:
     def push_events(self, xs, ys, ts, ps) -> List[AngVelEstimate]:
         """Feed a chunk of raw sensor events (eventsCallback,
         src/cmax_slam.cpp:147-161): decimate by frontend_event_sample_rate,
-        advance the front-end, forward fresh ang-vels to the back-end."""
+        advance the front-end, forward fresh ang-vels to the back-end.
+
+        Returned estimates may still be in flight on device (see
+        AngVelEstimate's contract): with a back-end attached they finalize
+        lazily — call ``frontend.finalize_batch(ests)`` (or read
+        ``ang_vel_log``) before using their cost/iters fields."""
         rate = self.cfg.frontend_event_sample_rate
         if rate > 1:
             # phase-continuous every-rate-th selection across chunks
@@ -134,6 +139,16 @@ class CMaxSLAM:
         reference's worker thread to drain, src/cmax_slam.cpp:92)."""
         if self.backend is not None:
             self.backend.flush()
+
+    def close(self) -> None:
+        """Flush and release background readback threads (front and back
+        end). The system stays usable afterwards — fetches just run
+        synchronously; call when retiring instances in bulk (e.g. one system
+        per device in segmented replay)."""
+        self.flush()
+        self.frontend.close()
+        if self.backend is not None:
+            self.backend.close()
 
     def save_checkpoint(self, path: str) -> None:
         """Serialize full system state (knots, global map, cursors) — a

@@ -20,8 +20,12 @@ LUT = synthetic.identity_lut(W, H, FX, FY, CX, CY)
 def test_packet_trigger_semantics(monkeypatch):
     """Packets are centered on the cursor-crossing event: [i+1-half, i+1+half),
     cursors on the grid t0 + dt/2 + k*dt (ang_vel_estimator.cpp:74-97)."""
+    # batch_sweeps=0: route every packet through _process_packet so the
+    # monkeypatch below observes the spans (the stride-batched path shares
+    # the same _scan_triggers windowing, exercised by the batched tests).
     cfg = FrontendConfig(num_events_per_packet=6, dt_ang_vel=0.1,
-                         warp=WarpOptions(event_batch_size=2))
+                         warp=WarpOptions(event_batch_size=2),
+                         batch_sweeps=0)
     fe = Frontend(CAM, LUT, cfg)
     processed = []
     monkeypatch.setattr(
@@ -102,3 +106,54 @@ def test_coarse_to_fine_cold_start_fast_motion(rng):
     errs = [np.linalg.norm(e.omega - omega_true) for e in fe.estimates]
     # cold-start first packet included: all packets should lock on
     assert np.median(errs) < 0.25, f"errs={np.round(errs, 3)}"
+
+
+def test_batched_matches_sequential(rng):
+    """The stride-batched solver (batch_sweeps=2) must reproduce the
+    sequential warm-start chain's estimates on a time-varying rotation
+    (identical objective and convergence tests; only scheduling differs)."""
+    duration = 0.3
+
+    def omega_fn(t):
+        return np.array([0.9 * np.sin(2 * np.pi * t),
+                         -1.4 * np.cos(2 * np.pi * 0.7 * t),
+                         2.0 * np.sin(2 * np.pi * 0.4 * t + 0.3)])
+
+    # integrate omega(t) into a rotation profile
+    from cmax_slam_tpu import spline as sp
+    dt_int = 1e-3
+    steps = int(duration / dt_int) + 2
+    qs = [np.array([1.0, 0, 0, 0])]
+    for i in range(1, steps):
+        qs.append(sp._np_quat_mul(
+            qs[-1], sp._np_quat_exp(omega_fn((i - 0.5) * dt_int) * dt_int)))
+    mats = np.stack([sp._np_quat_rotmat(q) for q in qs])
+
+    def rot_fn(t):
+        idx = np.clip((np.atleast_1d(t) / dt_int).astype(int), 0, steps - 1)
+        return mats[idx]
+
+    n = 60000
+    ev = synthetic.rotating_camera_events(
+        rng, n, duration, np.zeros(3), FX, FY, CX, CY, W, H, n_points=300,
+        rot_fn=rot_fn,
+    )
+
+    def run(sweeps):
+        cfg = FrontendConfig(
+            num_events_per_packet=8000, dt_ang_vel=0.02,
+            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100),
+            batch_sweeps=sweeps,
+        )
+        fe = Frontend(CAM, LUT, cfg)
+        for i in range(0, n, 20000):
+            fe.push_events(ev.xs[i:i+20000], ev.ys[i:i+20000],
+                           ev.ts[i:i+20000], ev.pols[i:i+20000])
+        fe.finalize_batch(fe.estimates)
+        return np.array([e.omega for e in fe.estimates])
+
+    om_seq = run(0)
+    om_bat = run(2)
+    assert om_seq.shape == om_bat.shape and len(om_seq) >= 10
+    diff = np.linalg.norm(om_seq - om_bat, axis=1)
+    assert np.max(diff) < 0.05, f"batched vs sequential diff {diff}"
