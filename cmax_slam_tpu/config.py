@@ -86,6 +86,12 @@ class OptimOptions:
     # steps that collapse the ladder scale and stall a solve that a fresh
     # full-scale probe keeps moving (ops/optim.py:make_cg_body).
     stagnation_patience: int = 1
+    # Line-search bracket strategy: "sequential" probes ladder rungs one at
+    # a time in a while_loop (GSL-shaped); "vector" evaluates every rung in
+    # one vmapped objective call — much faster on TPU for small objectives
+    # where loop-iteration overhead dominates (the front-end packet solve),
+    # and it picks the globally best rung instead of the first local dip.
+    ladder: str = "sequential"
 
 
 @dataclass(frozen=True)
@@ -96,7 +102,11 @@ class FrontendConfig:
     num_events_per_packet: int = 30000
     dt_ang_vel: float = 0.02
     warp: WarpOptions = field(default_factory=WarpOptions)
-    optim: OptimOptions = field(default_factory=OptimOptions)
+    # Vector ladder by default: the packet objective is small enough that
+    # sequential bracket probing is loop-overhead-bound on TPU (measured
+    # ~2.4 ms/CG-iteration sequential vs ~0.5 ms of eval work).
+    optim: OptimOptions = field(
+        default_factory=lambda: OptimOptions(ladder="vector"))
     show_iwe: bool = False
     # Coarse-to-fine CMax (no reference counterpart): first solve on a
     # 3x-blurred IWE (wider basin of attraction for fast motion from cold

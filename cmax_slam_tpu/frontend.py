@@ -46,6 +46,12 @@ def _build_packet_solver(cam, batch_size: int, blur_sigma: float,
     and per-field uploads each cost a tunnel round trip on remote devices.
     The bearing LUT is a runtime argument (not a baked-in constant)."""
 
+    # The vector ladder vmaps the objective over ladder rungs; the Pallas
+    # IWE kernel re-launches per vmap lane, so route votes through the XLA
+    # path there (it batches into one MXU contraction and is also the
+    # faster single-eval impl at packet size: 30 vs 74 us measured).
+    impl = "xla" if o.ladder == "vector" else "auto"
+
     @jax.jit
     def solve(evdata, t_ref, omega0, lut):
         xs, ys, ts, validf = evdata[0], evdata[1], evdata[2], evdata[3]
@@ -62,7 +68,7 @@ def _build_packet_solver(cam, batch_size: int, blur_sigma: float,
         def make_f(sigma):
             def f(omega):
                 iwe = warp_local.local_iwe(omega, packet, cam, sigma,
-                                           precision)
+                                           precision, impl=impl)
                 return -contrast(iwe, measure)
             return f
 
@@ -76,6 +82,7 @@ def _build_packet_solver(cam, batch_size: int, blur_sigma: float,
                 fun_tol=o.fun_tol,
                 max_fevals_per_linesearch=o.max_fevals_per_linesearch,
                 stagnation_patience=o.stagnation_patience,
+                ladder=o.ladder,
             )
 
         x0 = omega0
@@ -107,21 +114,27 @@ def _build_stride_solver(cam, batch_size: int, blur_sigma: float,
 
     The reference solves packets strictly sequentially, warm-starting each
     from its predecessor (ang_vel_estimator.cpp:184-189 + member ang_vel_).
-    On TPU that serializes ~10 small latency-bound programs per back-end
-    stride — the single biggest device cost of a realtime replay. Here every
-    lane solves simultaneously (vmapped masked CG — converged lanes freeze,
-    optim.minimize_fr_cg_masked) and the sequential warm-start chain is
-    recovered with Jacobi sweeps: sweep 1 starts every lane from the previous
-    stride's solution, sweep k starts lane i from lane i-1's sweep k-1
-    result. Identical objective, identical convergence tests.
+    Dispatching each of those ~10 small solves as its own device program
+    costs a per-program tunnel/dispatch latency that dominates a realtime
+    stride; a vmapped lockstep batch was measured 2.7x SLOWER still (every
+    lane pays the slowest lane's iterations times the full line-search
+    ladder: 204 ms vs the chain's 77 ms per stride on TPU). This solver is
+    the best of both: lax.scan over lanes INSIDE one program — the exact
+    sequential warm-start chain (identical numerics to the per-packet
+    path, including the degenerate-lane omega reset), one dispatch, and
+    each lane runs only its own while_loop trip count. Dead lanes
+    (bucket padding / degenerate packets) skip the solve via lax.cond.
 
-    Votes use the XLA matmul path: vmapping the VMEM-resident Pallas kernel
-    re-launches it per lane (~5x slower), while the batched hat matmuls fuse
-    into one big MXU contraction."""
+    ``sweeps`` is kept in the cache key for config compatibility; any
+    value >= 1 selects this exact chain (there is no approximation left
+    to iterate on)."""
+    del sweeps
 
-    def minimize(f, x0, alive, max_ls):
-        return optim.minimize_fr_cg_masked(
-            jax.value_and_grad(f), x0, alive, f_fn=f,
+    impl = "xla" if o.ladder == "vector" else "auto"
+
+    def minimize(f, x0, max_ls):
+        return optim.minimize_fr_cg(
+            jax.value_and_grad(f), x0, f_fn=f,
             max_line_searches=max_ls,
             initial_step=o.initial_step,
             line_search_tol=o.line_search_tol,
@@ -129,16 +142,16 @@ def _build_stride_solver(cam, batch_size: int, blur_sigma: float,
             fun_tol=o.fun_tol,
             max_fevals_per_linesearch=o.max_fevals_per_linesearch,
             stagnation_patience=o.stagnation_patience,
+            ladder=o.ladder,
         )
 
     @jax.jit
-    def solve(evP, t_refs, omega0, lut):
-        """evP: (P, 4, S); t_refs: (P,); omega0: (3,) previous stride's warm
-        start. Returns (omega_next (3,), packed (P, 5))."""
-        Pn = evP.shape[0]
-        alive = jnp.any(evP[:, 3, :] > 0, axis=1)
+    def solve(evP, t_refs, flags, omega0, lut):
+        """evP: (P, 4, S); t_refs: (P,); flags: (P,) lane kind (1 = live,
+        0 = degenerate packet, -1 = bucket padding); omega0: (3,) previous
+        stride's warm start. Returns (omega_next (3,), packed (P, 5))."""
 
-        def sweep(evdata, t_ref, om0, alive):
+        def solve_lane(evdata, t_ref, om0):
             def fsig(sigma):
                 xs, ys, ts, validf = (evdata[0], evdata[1], evdata[2],
                                       evdata[3])
@@ -157,7 +170,7 @@ def _build_stride_solver(cam, batch_size: int, blur_sigma: float,
 
                 def f(omega):
                     iwe = warp_local.local_iwe(omega, packet, cam, sigma,
-                                               precision, impl="xla")
+                                               precision)
                     return -contrast(iwe, measure)
 
                 return f
@@ -166,10 +179,10 @@ def _build_stride_solver(cam, batch_size: int, blur_sigma: float,
             iters_coarse = 0
             if coarse_to_fine:
                 coarse = minimize(fsig(max(blur_sigma, 1.0) * 3.0), x0,
-                                  alive, o.max_line_searches // 2)
+                                  o.max_line_searches // 2)
                 x0 = coarse.x
                 iters_coarse = coarse.iters
-            res = minimize(fsig(blur_sigma), x0, alive, o.max_line_searches)
+            res = minimize(fsig(blur_sigma), x0, o.max_line_searches)
             packed = jnp.concatenate([
                 res.x,
                 jnp.stack([res.fun,
@@ -177,19 +190,24 @@ def _build_stride_solver(cam, batch_size: int, blur_sigma: float,
             ])
             return res.x, packed
 
-        om = jnp.broadcast_to(omega0, (Pn, 3))
-        xs_out, packed = jax.vmap(sweep)(evP, t_refs, om, alive)
-        for _ in range(max(sweeps, 1) - 1):
-            om = jnp.concatenate([omega0[None], xs_out[:-1]], axis=0)
-            # Dead (padding/degenerate) lanes pass their warm start through
-            # so the chain skips them like the sequential path's omega reset.
-            om = jnp.where(alive[:, None], om, 0.0)
-            xs_out, packed = jax.vmap(sweep)(evP, t_refs, om, alive)
+        def step(om, lane):
+            evdata, t_ref, flag = lane
 
-        idx_last = jnp.max(jnp.where(alive, jnp.arange(Pn), -1))
-        omega_next = jnp.where(
-            idx_last >= 0, xs_out[jnp.maximum(idx_last, 0)], omega0
-        )
+            def live(_):
+                return solve_lane(evdata, t_ref, om)
+
+            def dead(_):
+                # Degenerate packet: zero estimate and the warm-start chain
+                # resets to zero (ang_vel_estimator.cpp:108-114). Bucket
+                # padding (flag < 0) instead passes the carry through so a
+                # short stride keeps its warm start for the next one.
+                om_next = jnp.where(flag < 0, om, jnp.zeros(3, evP.dtype))
+                return om_next, jnp.zeros(5, evP.dtype)
+
+            om_new, packed = jax.lax.cond(flag > 0, live, dead, None)
+            return om_new, packed
+
+        omega_next, packed = jax.lax.scan(step, omega0, (evP, t_refs, flags))
         return omega_next, packed
 
     return solve
@@ -451,6 +469,7 @@ class Frontend:
         bucket = self._lane_bucket(len(ready))
         evP = np.zeros((bucket, 4, S), np.float32)
         t_refs = np.zeros(bucket, np.float32)
+        flags = np.full(bucket, -1.0, np.float32)  # bucket padding
         ests: List[AngVelEstimate] = []
         solved: List[bool] = []
         for i, (beg, end) in enumerate(ready):
@@ -463,6 +482,7 @@ class Frontend:
             degenerate = timespan > 10.0 * cfg.dt_ang_vel or n < 2
             est = AngVelEstimate(t=t_packet, omega=np.zeros(3), cost=0.0,
                                  iters=0, num_events=n, span=(beg, end))
+            flags[i] = 0.0 if degenerate else 1.0
             if not degenerate:
                 evP[i, 0, :n] = xs
                 evP[i, 1, :n] = ys
@@ -476,14 +496,13 @@ class Frontend:
         solver = self._get_stride_solver(sweeps)
         with self.metrics.timer("frontend.solve"):
             omega_next, packed = solver(
-                jnp.asarray(evP), jnp.asarray(t_refs), self._omega_dev,
-                self.lut,
+                jnp.asarray(evP), jnp.asarray(t_refs), jnp.asarray(flags),
+                self._omega_dev, self.lut,
             )
-        # Warm-start handover; a trailing degenerate packet resets it to zero
-        # exactly like the sequential path (ang_vel_estimator.cpp:108-114).
-        self._omega_dev = (
-            jnp.zeros(3, jnp.float32) if not solved[-1] else omega_next
-        )
+        # Warm-start handover: the scan carry already encodes the sequential
+        # semantics (last live lane's solution; zero after a trailing
+        # degenerate packet; unchanged across bucket padding).
+        self._omega_dev = omega_next
         for i, est in enumerate(ests):
             if solved[i]:
                 est.packed = (packed, i)

@@ -143,6 +143,67 @@ def _line_search(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals):
     return a_out, f_out, g_out, bracketed
 
 
+def _line_search_vec(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals):
+    """Vectorized variant of _line_search: same contract, TPU-native probing.
+
+    The sequential bracket is a while_loop of tiny data-dependent steps —
+    on TPU each loop iteration costs fixed scheduling overhead comparable
+    to the objective itself at packet sizes, so the ladder is latency-bound
+    (measured ~2.4 ms per CG iteration vs ~0.5 ms of pure eval work).
+    Here ALL ``max_evals`` ladder rungs ``alpha0 * 2^m``
+    (m = -max_evals/2+1 .. max_evals/2) are evaluated in ONE vmapped
+    objective call — one wide op on the MXU instead of up to 16 sequential
+    trips — then the winner is polished with the same secant refinement.
+    Semantics relative to the sequential ladder: the bracket picks the
+    global best rung (the sequential one stops at the first local dip), so
+    this is the same deliberate improvement over GSL backtracking documented
+    on _line_search, evaluated wider."""
+    dtype = x.dtype
+    dphi0 = jnp.vdot(g0, u).astype(dtype)
+    alpha0 = jnp.asarray(alpha0, dtype)
+    half = max_evals // 2
+    ms = jnp.arange(-half + 1, max_evals - half + 1, dtype=dtype)
+    alphas = alpha0 * (2.0 ** ms)
+    fs = jax.vmap(lambda a: f_fn(x + a * u))(alphas).astype(dtype)
+    i_best = jnp.argmin(fs)
+    f_best = fs[i_best]
+    a_best = alphas[i_best]
+    bracketed = f_best < f0
+
+    def refine_cond(t):
+        return (~t[-1]) & (t[-2] < 4)
+
+    def refine_body(t):
+        a_cur, a_prev, dphi_prev, fb, ab, gb, k, done = t
+        f1, g1 = vg_fn(x + a_cur * u)
+        f1 = f1.astype(dtype)
+        g1 = g1.astype(dtype)
+        dphi1 = jnp.vdot(g1, u)
+        better = f1 <= fb
+        fb2 = jnp.where(better, f1, fb)
+        ab2 = jnp.where(better, a_cur, ab)
+        gb2 = jnp.where(better, g1, gb)
+        ok = jnp.abs(dphi1) <= tol * jnp.linalg.norm(g1)
+        denom = dphi1 - dphi_prev
+        step = dphi1 * (a_cur - a_prev) / jnp.where(
+            jnp.abs(denom) < 1e-30, 1.0, denom)
+        a_next = a_cur - step
+        a_next = jnp.clip(a_next, 0.05 * a_cur, 4.0 * a_cur)
+        return (a_next, a_cur, dphi1, fb2, ab2, gb2, k + 1, ok)
+
+    _, _, _, f_r, a_r, g_r, _, _ = jax.lax.while_loop(
+        refine_cond,
+        refine_body,
+        (a_best, jnp.zeros_like(a_best), dphi0,
+         f_best, a_best, g0, jnp.asarray(0, jnp.int32), ~bracketed),
+    )
+
+    f_out = jnp.where(bracketed, f_r, f0)
+    a_out = jnp.where(bracketed, a_r, 0.0)
+    g_out = jnp.where(bracketed, g_r, g0)
+    return a_out, f_out, g_out, bracketed
+
+
 class CGState(NamedTuple):
     """Resumable per-solve CG state (a pytree; stacks under vmap)."""
 
@@ -196,8 +257,14 @@ def make_cg_body(
     max_fevals_per_linesearch: int = 16,
     stagnation_patience: int = 1,
     initial_step: float = 0.1,
+    ladder: str = "sequential",
 ) -> Callable:
     """One Fletcher-Reeves line-search iteration: CGState -> CGState.
+
+    ``ladder``: "sequential" probes bracket steps one at a time in a
+    while_loop (GSL-shaped); "vector" evaluates every ladder rung in one
+    vmapped objective call (_line_search_vec) — much faster on TPU when the
+    objective is small enough that loop-iteration overhead dominates.
 
     The returned body performs the work unconditionally; callers gate it
     (while_loop cond, lax.cond, or round-based fori_loop with masking).
@@ -217,6 +284,7 @@ def make_cg_body(
     if f_fn is None:
         f_fn = lambda x: value_and_grad_fn(x)[0]
     restart_every = max(dim, 2)
+    search = _line_search_vec if ladder == "vector" else _line_search
 
     def body(s: CGState) -> CGState:
         dnorm = jnp.linalg.norm(s.d)
@@ -225,7 +293,7 @@ def make_cg_body(
         # Restart on non-descent direction.
         u = jnp.where(descent, u, -s.g / jnp.maximum(jnp.linalg.norm(s.g), 1e-30))
 
-        alpha, f_new, g_new, ok = _line_search(
+        alpha, f_new, g_new, ok = search(
             f_fn, value_and_grad_fn, s.x, s.f, s.g, u,
             s.alpha0, line_search_tol, max_fevals_per_linesearch,
         )
@@ -310,55 +378,6 @@ def cg_finalize(state: CGState, max_line_searches: int) -> CGResult:
                     f0=state.f0)
 
 
-def minimize_fr_cg_masked(
-    value_and_grad_fn: Callable,
-    x0: jnp.ndarray,
-    alive,
-    f_fn: Callable | None = None,
-    *,
-    max_line_searches: int = 50,
-    initial_step: float = 0.1,
-    line_search_tol: float = 0.05,
-    grad_tol: float = 1e-3,
-    fun_tol: float = 1e-4,
-    max_fevals_per_linesearch: int = 16,
-    stagnation_patience: int = 1,
-) -> CGResult:
-    """minimize_fr_cg with a per-call ``alive`` gate and a MASKED while body.
-
-    Built for vmapped batch solving: under vmap a while_loop's condition
-    becomes "any lane still running" and the body applies to every lane, so
-    the plain minimizer would keep line-searching lanes that already
-    converged (mutating their state). Here converged lanes freeze (their
-    state is carried through unchanged) and dead lanes (alive=False — e.g.
-    zero-weight padding lanes in a bucketed batch) never run at all."""
-    dim = x0.shape[-1] if x0.ndim else 1
-    body = make_cg_body(
-        value_and_grad_fn, f_fn, dim=dim,
-        line_search_tol=line_search_tol, grad_tol=grad_tol, fun_tol=fun_tol,
-        max_fevals_per_linesearch=max_fevals_per_linesearch,
-        stagnation_patience=stagnation_patience, initial_step=initial_step,
-    )
-
-    init = cg_init(value_and_grad_fn, x0, initial_step)
-    init = init._replace(
-        status=jnp.where(alive, init.status, MAX_ITERS).astype(jnp.int32)
-    )
-
-    def mbody(s: CGState) -> CGState:
-        s_new = body(s)
-        keep = s.status == RUNNING
-        return jax.tree_util.tree_map(
-            lambda new, old: jnp.where(keep, new, old), s_new, s
-        )
-
-    def cond(s: CGState):
-        return (s.status == RUNNING) & (s.it < max_line_searches)
-
-    out = jax.lax.while_loop(cond, mbody, init)
-    return cg_finalize(out, max_line_searches)
-
-
 def minimize_fr_cg(
     value_and_grad_fn: Callable,
     x0: jnp.ndarray,
@@ -371,6 +390,7 @@ def minimize_fr_cg(
     fun_tol: float = 1e-4,
     max_fevals_per_linesearch: int = 16,
     stagnation_patience: int = 1,
+    ladder: str = "sequential",
 ) -> CGResult:
     """Minimize a smooth function with Fletcher-Reeves nonlinear CG.
 
@@ -383,6 +403,7 @@ def minimize_fr_cg(
         line_search_tol=line_search_tol, grad_tol=grad_tol, fun_tol=fun_tol,
         max_fevals_per_linesearch=max_fevals_per_linesearch,
         stagnation_patience=stagnation_patience, initial_step=initial_step,
+        ladder=ladder,
     )
 
     def cond(s: CGState):
