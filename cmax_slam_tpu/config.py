@@ -81,10 +81,15 @@ class OptimOptions:
     # Consecutive stalls (GSL stagnation test or failed bracket) required to
     # STOP; earlier stalls restart the solve with steepest descent + the
     # bracket ladder re-seeded at initial_step. 1 = exact GSL semantics
-    # (stop on first stall). The back-end BA overrides this (see
-    # BackendConfig.optim): its curved cubic valley accepts occasional tiny
-    # steps that collapse the ladder scale and stall a solve that a fresh
-    # full-scale probe keeps moving (ops/optim.py:make_cg_body).
+    # (stop on first stall) and is the default EVERYWHERE: patience > 1 in
+    # the back-end BA lets weakly-constrained windows (sparse texture, no
+    # global-map overlap) keep riding a slow spurious-descent direction —
+    # equirect contrast genuinely increases as a window's whole pose slides
+    # pole-ward (area distortion concentrates votes) — for the full
+    # iteration budget, injecting multi-degree trajectory jumps (measured:
+    # 0.08 -> 20.7 deg RMS on the realtime replay at patience=3). The
+    # early-stall restart stays available as an opt-in knob for narrow
+    # curved valleys (cubic BA experiments).
     stagnation_patience: int = 1
     # Line-search bracket strategy: "sequential" probes ladder rungs one at
     # a time in a while_loop (GSL-shaped); "vector" evaluates every rung in
@@ -139,9 +144,12 @@ class BackendConfig:
     # GSL relative-stagnation test (fun_tol) after 1-2 iterations and
     # leaves the first cubic windows under-refined (measured: 0.02 start
     # degraded cubic e2e RMS 0.6 -> 3.8 deg for no wall-clock gain).
+    # stagnation_patience MUST stay 1 here (see OptimOptions): patience=3
+    # let weakly-constrained windows wander pole-ward for 50 iterations,
+    # 0.08 -> 20.7 deg RMS on examples/tpu_realtime_check.py.
     optim: OptimOptions = field(
         default_factory=lambda: OptimOptions(
-            grad_tol=1e-4, line_search_tol=0.1, stagnation_patience=3
+            grad_tol=1e-4, line_search_tol=0.1
         )
     )
     show_iwe: bool = False

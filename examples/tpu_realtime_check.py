@@ -85,8 +85,22 @@ traj = slam.backend.traj
 t_grid = np.linspace(traj.t_beg + 1e-6, traj.max_time() - 1e-6, 80)
 q_est = traj.evaluate(t_grid)
 q_gt = np.stack([spline._np_quat_exp(omega_true * t) for t in t_grid])
-rms, _ = rotation_rms_deg(t_grid, q_gt, q_est, "global")
+rms, errs = rotation_rms_deg(t_grid, q_gt, q_est, "global")
 print(f"trajectory RMS vs ground truth: {rms:.4f} deg")
+print("per-sample err (deg):", np.round(errs, 2).tolist())
+wins = slam.window_results()
+print("window iters:", [w.iters for w in wins])
+print("window costs f0->f:",
+      [(round(w.initial_cost, 4), round(w.final_cost, 4)) for w in wins[:8]])
+print("metrics counters:", dict(slam.metrics.counters))
+tl = slam.backend.trajectory_log
+jumps = []
+for (t_a, q_a), (t_b, q_b) in zip(tl[:-1], tl[1:]):
+    qa_inv = q_a * np.array([1.0, -1.0, -1.0, -1.0])
+    dq = spline._np_quat_mul(qa_inv, q_b)
+    ang = 2.0 * np.degrees(np.arccos(np.clip(abs(dq[0]), -1, 1)))
+    jumps.append(round(float(ang), 2))
+print("pose-to-pose jumps (deg):", jumps)
 
 assert wall <= DURATION, (
     f"replay took {wall:.2f}s for a {DURATION:.1f}s stream "
