@@ -22,7 +22,7 @@ import numpy as np
 
 from . import config as config_mod
 from .calib import CameraCalibration
-from .io.events import load_events, stream_chunks
+from .io.streams import iter_events
 from .system import CMaxSLAM
 from .utils.image import write_png
 
@@ -119,10 +119,13 @@ def main(argv=None) -> int:
     calib = load_calibration(args)
     cfg = apply_overrides(PRESETS[args.preset](), args.set)
 
-    print(f"[cmax-slam-tpu] loading events from {args.events}", file=sys.stderr)
-    xs, ys, ts, ps = load_events(args.events, args.max_events)
-    print(f"[cmax-slam-tpu] {len(ts)} events spanning "
-          f"{ts[-1] - ts[0]:.2f}s", file=sys.stderr)
+    # Bounded-memory ingestion: events stream straight off the file in
+    # chunks (the reference never holds a whole recording either — it
+    # consumes a live topic, src/cmax_slam.cpp:147-161); the EventStore
+    # retires its prefix as the back-end consumes windows, so multi-GB
+    # recordings replay in O(chunks) memory.
+    print(f"[cmax-slam-tpu] streaming events from {args.events}",
+          file=sys.stderr)
 
     slam = CMaxSLAM(calib, cfg, run_backend=not args.no_backend)
     if args.resume:
@@ -139,7 +142,12 @@ def main(argv=None) -> int:
     next_ckpt = args.checkpoint_every
     maps_done = 0
     iwe_done = 0
-    for chunk in stream_chunks(xs, ys, ts, ps, args.chunk_size):
+    n_events = 0
+    t_first = None
+    for chunk in iter_events(args.events, args.chunk_size, args.max_events):
+        n_events += len(chunk[2])
+        if t_first is None and len(chunk[2]):
+            t_first = float(chunk[2][0])
         ests = slam.push_events(*chunk)
         if iwe_every > 0:
             slam.frontend.finalize_batch(ests)
@@ -155,7 +163,7 @@ def main(argv=None) -> int:
                         img.astype(np.uint8),
                     )
         if args.checkpoint_every > 0 and len(chunk[2]) and (
-            chunk[2][-1] - ts[0] >= next_ckpt
+            chunk[2][-1] - t_first >= next_ckpt
         ):
             slam.save_checkpoint(os.path.join(args.out_dir, "checkpoint.npz"))
             next_ckpt += args.checkpoint_every
@@ -197,9 +205,9 @@ def main(argv=None) -> int:
         slam.save_checkpoint(os.path.join(args.out_dir, "final_state.npz"))
 
     stats = {
-        "events": int(len(ts)),
+        "events": int(n_events),
         "wall_seconds": wall,
-        "events_per_second": len(ts) / wall,
+        "events_per_second": n_events / max(wall, 1e-9),
         "ang_vel_estimates": int(len(av)),
         "windows": len(slam.window_results()),
         "metrics": slam.metrics.summary(),

@@ -174,6 +174,7 @@ def track_batched_compacted(
     min_bucket: int = 8,
     cold_decimate: int = 4,
     cold_precision: str = "default",
+    mesh: Optional[Mesh] = None,
 ):
     """Batched tracking without the lockstep-straggler tax.
 
@@ -190,6 +191,13 @@ def track_batched_compacted(
     sequential front-end's warm-start accuracy (ang_vel_estimator.cpp keeps
     ang_vel_ across packets) while staying embarrassingly parallel.
 
+    With ``mesh``, every round's lane bucket is sharded over the mesh's
+    "data" axis: the host compacts survivors GLOBALLY across devices and
+    re-shards each round, so multi-chip throughput keeps the straggler-free
+    schedule (each solve is device-local — no collectives in the hot loop;
+    buckets are padded to a multiple of 4x the device count so the
+    {1,1.25,1.5,1.75}x2^k ladder always splits evenly).
+
     Returns (times, omegas, costs, iters) like track_batched.
     """
     opt = cfg.optim
@@ -197,6 +205,19 @@ def track_batched_compacted(
     measure = cfg.contrast_measure
     Pn = batch.bearings.shape[0]
     max_ls = opt.max_line_searches
+
+    shard = rep = None
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        # smallest ladder bucket must split across devices
+        min_bucket = max(min_bucket, 4 * n_dev)
+        shard = NamedSharding(mesh, P("data"))
+
+    def put(arr):
+        """Round inputs: shard the lane axis over the mesh (no-op 1-chip)."""
+        if shard is None:
+            return jnp.asarray(arr)
+        return jax.device_put(np.asarray(arr), shard)
 
     omegas = np.zeros((Pn, 3), np.float32)
     costs = np.zeros(Pn, np.float32)
@@ -219,11 +240,26 @@ def track_batched_compacted(
             dts = batch.dts[:, ::k]
             weights = batch.weights[:, ::k]
             precision = cfg.warp.precision if final else cold_precision
-        st_dev = _init_states(
-            bearings, dts, weights, jnp.asarray(omega0),
-            cam, blur_sigma, measure, opt, precision,
-        )
-        st = optim.CGState(*(np.array(a) for a in st_dev))  # writable copies
+        if mesh is not None:
+            # Host copies for global compaction + per-round sharded gathers
+            # (a device-side gather across shards would insert collectives).
+            bearings = np.asarray(bearings)
+            dts = np.asarray(dts)
+            weights = np.asarray(weights)
+            pad = (-Pn) % min_bucket
+            init_idx = np.resize(np.arange(Pn), Pn + pad)
+            st_dev = _init_states(
+                put(bearings[init_idx]), put(dts[init_idx]),
+                put(weights[init_idx]), put(omega0[init_idx]),
+                cam, blur_sigma, measure, opt, precision,
+            )
+            st = optim.CGState(*(np.array(a)[:Pn] for a in st_dev))
+        else:
+            st_dev = _init_states(
+                bearings, dts, weights, jnp.asarray(omega0),
+                cam, blur_sigma, measure, opt, precision,
+            )
+            st = optim.CGState(*(np.array(a) for a in st_dev))
         active = np.arange(Pn)
         t_sweep = time.perf_counter()
         rounds = 0
@@ -236,13 +272,19 @@ def track_batched_compacted(
                 break
             bucket = _quantize_bucket(n, min_bucket)
             idx = np.resize(active, bucket)  # pad by cycling (extras ignored)
-            idx_dev = jnp.asarray(idx)
-            sub = optim.CGState(*(jnp.asarray(a[idx]) for a in st))
+            sub = optim.CGState(*(put(np.asarray(a)[idx]) for a in st))
             round_iters = round_schedule[min(rounds, len(round_schedule) - 1)]
+            if mesh is not None:
+                in_b = put(bearings[idx])
+                in_d = put(dts[idx])
+                in_w = put(weights[idx])
+            else:
+                idx_dev = jnp.asarray(idx)
+                in_b = jnp.take(bearings, idx_dev, axis=0)
+                in_d = jnp.take(dts, idx_dev, axis=0)
+                in_w = jnp.take(weights, idx_dev, axis=0)
             out = _run_round(
-                jnp.take(bearings, idx_dev, axis=0),
-                jnp.take(dts, idx_dev, axis=0),
-                jnp.take(weights, idx_dev, axis=0),
+                in_b, in_d, in_w,
                 sub, cam, blur_sigma, measure, opt,
                 min(round_iters, max_ls), precision,
             )

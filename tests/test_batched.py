@@ -91,3 +91,28 @@ def test_batched_tracking_sharded(stream):
     )
     errs = np.linalg.norm(omegas - omega, axis=1)
     assert np.median(errs) < 0.2, f"median err {np.median(errs)}"
+
+
+def test_batched_compacted_sharded(stream):
+    """Mesh-sharded compacted schedule: survivors are compacted globally and
+    re-sharded each round, so multi-chip throughput keeps the straggler-free
+    schedule. Must match the single-device compacted results exactly (same
+    round schedule, same numerics — sharding only splits the lane axis) and
+    pay no more device work (iteration counts identical)."""
+    ev, omega = stream
+    batch = batched.cut_packets(ev.xs, ev.ys, ev.ts, LUT, CAM, CFG)
+    mesh = sharding.make_mesh(8)
+    t1, om1, c1, it1 = batched.track_batched_compacted(
+        batch, CAM, CFG, sweeps=2
+    )
+    t8, om8, c8, it8 = batched.track_batched_compacted(
+        batch, CAM, CFG, sweeps=2, mesh=mesh
+    )
+    errs = np.linalg.norm(om8 - omega, axis=1)
+    assert np.median(errs) < 0.2, f"median err {np.median(errs)}"
+    assert it8.max() <= CFG.optim.max_line_searches
+    # Same per-lane iteration counts as unsharded (no lockstep-straggler tax
+    # reintroduced by the mesh); solutions agree to the reassociation noise
+    # of different vmap bucket widths compounded through ~50 CG iterations.
+    np.testing.assert_array_equal(it8, it1)
+    np.testing.assert_allclose(om8, om1, atol=3e-3)
