@@ -118,6 +118,8 @@ def _build_window_solver(pano, order: int, blur_sigma: float, measure: int,
             fun_tol=o.fun_tol,
             max_fevals_per_linesearch=o.max_fevals_per_linesearch,
             stagnation_patience=o.stagnation_patience,
+            cg_variant=o.cg_variant,
+            ladder=o.ladder,
         )
         drotv = res.x.reshape(K, 3)
         knots_new = spline.apply_masked_increments(knots, drotv, free_mask)
@@ -176,6 +178,8 @@ def _build_crop_solver(pano, order: int, blur_sigma: float, measure: int,
             fun_tol=o.fun_tol,
             max_fevals_per_linesearch=o.max_fevals_per_linesearch,
             stagnation_patience=o.stagnation_patience,
+            cg_variant=o.cg_variant,
+            ladder=o.ladder,
         )
         drotv = res.x.reshape(K, 3)
         knots_new = spline.apply_masked_increments(knots, drotv, free_mask)
@@ -472,7 +476,11 @@ class Backend:
                 # Degenerate: too few ang-vels; hold the last pose.
                 new_cps = np.tile(self.pose_latest[1], (num_cps, 1))
             if self.first_window:
-                self.idx_cp_opt_beg = self.degree  # freeze trajectory start
+                # Freeze the trajectory start to pin the gauge. The
+                # reference freezes `degree` knots; the default here frees
+                # all but one (config.first_window_frozen_knots rationale).
+                nfz = cfg.first_window_frozen_knots
+                self.idx_cp_opt_beg = self.degree if nfz is None else int(nfz)
                 self.first_window = False
             else:
                 new_cps = new_cps[self.degree:]

@@ -97,6 +97,10 @@ class OptimOptions:
     # where loop-iteration overhead dominates (the front-end packet solve),
     # and it picks the globally best rung instead of the first local dip.
     ladder: str = "sequential"
+    # Conjugate-direction formula: "fr" = Fletcher-Reeves (GSL conjugate_fr,
+    # the reference's method); "pr" = Polak-Ribiere+ (auto-restarting beta;
+    # measured worse on the cubic BA — kept as a knob).
+    cg_variant: str = "fr"
 
 
 @dataclass(frozen=True)
@@ -159,10 +163,18 @@ class BackendConfig:
     max_events_per_window: int = 1 << 18
     # FOV-crop solver: evaluate each window's objective on a crop around the
     # warped-event footprint (exact; ops/warp_pano.make_crop_objective). The
-    # margin bounds how far the optimizer may move warped events before the
+    # margin bounds how far the optimizer may move knots before the
     # escape check triggers a full-pano re-solve of that window.
     crop_solver: bool = True
     crop_margin_rad: float = 0.1
+    # Knots frozen in the VERY FIRST window. The reference freezes the first
+    # `degree` knots (1 linear / 3 cubic, pose_graph_optimizer.cpp:261-264);
+    # for the cubic spline that permanently locks ~3*dt_knots of raw
+    # front-end integrator error into the map origin, which later windows
+    # then fight (measured: windows 1-3 maxing the 50-iteration budget).
+    # One frozen knot pins the gauge just as well; None = reference
+    # semantics (degree).
+    first_window_frozen_knots: int | None = 1
 
 
 @dataclass(frozen=True)

@@ -83,6 +83,7 @@ def _build_packet_solver(cam, batch_size: int, blur_sigma: float,
                 max_fevals_per_linesearch=o.max_fevals_per_linesearch,
                 stagnation_patience=o.stagnation_patience,
                 ladder=o.ladder,
+                cg_variant=o.cg_variant,
             )
 
         x0 = omega0
@@ -143,6 +144,7 @@ def _build_stride_solver(cam, batch_size: int, blur_sigma: float,
             max_fevals_per_linesearch=o.max_fevals_per_linesearch,
             stagnation_patience=o.stagnation_patience,
             ladder=o.ladder,
+            cg_variant=o.cg_variant,
         )
 
     @jax.jit

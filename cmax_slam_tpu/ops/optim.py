@@ -262,8 +262,14 @@ def make_cg_body(
     stagnation_patience: int = 1,
     initial_step: float = 0.1,
     ladder: str = "sequential",
+    cg_variant: str = "fr",
 ) -> Callable:
-    """One Fletcher-Reeves line-search iteration: CGState -> CGState.
+    """One conjugate-gradient line-search iteration: CGState -> CGState.
+
+    ``cg_variant``: "fr" = Fletcher-Reeves (GSL's conjugate_fr, the
+    reference's method); "pr" = Polak-Ribiere+ (beta clipped at 0 — its
+    built-in auto-restart makes it markedly faster on the curved valleys of
+    the cubic-spline bundle adjustment, where FR drags stale directions).
 
     ``ladder``: "sequential" probes bracket steps one at a time in a
     while_loop (GSL-shaped); "vector" evaluates every ladder rung in one
@@ -321,9 +327,17 @@ def make_cg_body(
         ).astype(jnp.int32)
         retry = stall_event & ~final
 
-        # Fletcher-Reeves direction update with periodic restart; a
-        # patience retry also restarts (steepest descent, fresh step scale).
-        beta = jnp.vdot(g_new, g_new) / jnp.maximum(jnp.vdot(s.g, s.g), 1e-30)
+        # Conjugate direction update with periodic restart; a patience
+        # retry also restarts (steepest descent, fresh step scale).
+        if cg_variant == "pr":
+            beta = jnp.maximum(
+                jnp.vdot(g_new, g_new - s.g)
+                / jnp.maximum(jnp.vdot(s.g, s.g), 1e-30),
+                0.0,
+            )
+        else:
+            beta = jnp.vdot(g_new, g_new) / jnp.maximum(
+                jnp.vdot(s.g, s.g), 1e-30)
         it_new = s.it + 1
         restart = ((it_new % restart_every) == 0) | retry
         d_new = jnp.where(restart, -g_new, -g_new + beta * (u * dnorm))
@@ -404,8 +418,9 @@ def minimize_fr_cg(
     max_fevals_per_linesearch: int = 16,
     stagnation_patience: int = 1,
     ladder: str = "sequential",
+    cg_variant: str = "fr",
 ) -> CGResult:
-    """Minimize a smooth function with Fletcher-Reeves nonlinear CG.
+    """Minimize a smooth function with nonlinear CG (FR or PR+).
 
     value_and_grad_fn: x -> (f, g). f_fn: x -> f (cheaper forward-only path
     used during bracketing; defaults to value_and_grad_fn's value).
@@ -416,7 +431,7 @@ def minimize_fr_cg(
         line_search_tol=line_search_tol, grad_tol=grad_tol, fun_tol=fun_tol,
         max_fevals_per_linesearch=max_fevals_per_linesearch,
         stagnation_patience=stagnation_patience, initial_step=initial_step,
-        ladder=ladder,
+        ladder=ladder, cg_variant=cg_variant,
     )
 
     def cond(s: CGState):

@@ -146,6 +146,7 @@ def _run_round(bearings, dts, weights, states, cam, blur_sigma, measure, opt,
             max_fevals_per_linesearch=opt.max_fevals_per_linesearch,
             stagnation_patience=opt.stagnation_patience,
             initial_step=opt.initial_step,
+            cg_variant=opt.cg_variant,
         )
         return optim.cg_run_rounds(body, s, round_iters,
                                    opt.max_line_searches)

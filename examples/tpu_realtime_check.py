@@ -48,7 +48,13 @@ cfg = ijrr_config()
 PRECISION = os.environ.get("RT_PRECISION", "default")
 cfg = cfg_replace(cfg, **{"frontend.warp.precision": PRECISION,
                           "backend.warp.precision": PRECISION})
-print(f"vote precision: {PRECISION}")
+# Optional BA line-search ladder override ("vector" evaluates all bracket
+# rungs in one batched objective call — candidate cut for the per-window
+# wall time; sequential is the library default).
+BA_LADDER = os.environ.get("RT_BA_LADDER")
+if BA_LADDER:
+    cfg = cfg_replace(cfg, **{"backend.optim.ladder": BA_LADDER})
+print(f"vote precision: {PRECISION}  ba_ladder: {BA_LADDER or 'sequential'}")
 
 
 def replay(slam, n_events):

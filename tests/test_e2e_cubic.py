@@ -47,7 +47,7 @@ def smooth_rot_fn_noramp(duration, dt_int=1e-3):
     return rot_fn, omega
 
 
-def test_cubic_backend_rms():
+def _run_cubic(bracket: int = 16):
     rng = np.random.default_rng(11)
     duration = 0.8
     rot_fn, omega_fn = smooth_rot_fn_noramp(duration)
@@ -60,6 +60,7 @@ def test_cubic_backend_rms():
         width=W, height=H,
         K=np.array([[FX, 0, W / 2], [0, FY, H / 2], [0, 0, 1.0]]),
     )
+    from cmax_slam_tpu.config import OptimOptions
     cfg = SystemConfig(
         frontend=FrontendConfig(
             num_events_per_packet=4000, dt_ang_vel=0.02,
@@ -73,12 +74,15 @@ def test_cubic_backend_rms():
                 pano_height=256, pano_width=512, backend_min_ev_rate=10000,
                 max_update_times=200,
             ),
+            optim=OptimOptions(grad_tol=1e-4, line_search_tol=0.1,
+                               max_fevals_per_linesearch=bracket),
         ),
     )
     slam = CMaxSLAM(calib, cfg)
     for i in range(0, n, 20000):
         slam.push_events(ev.xs[i:i+20000], ev.ys[i:i+20000],
                          ev.ts[i:i+20000], ev.pols[i:i+20000])
+    slam.flush()
 
     results = slam.window_results()
     assert len(results) >= 4
@@ -95,8 +99,24 @@ def test_cubic_backend_rms():
         spline.from_matrix_np(R) if hasattr(spline, "from_matrix_np") else _q(R)
         for R in R_gt
     ])
-    rms, errs = rotation_rms_deg(times, q_gt, q_est, alignment="global")
-    assert rms < 0.8, f"cubic trajectory RMS {rms} deg; errs={np.round(errs,2)}"
+    return rotation_rms_deg(times, q_gt, q_est, alignment="global")
+
+
+def test_cubic_backend_rms():
+    rms, errs = _run_cubic()
+    # Round-3 gate (was 0.8): freeing all but one first-window knot stopped
+    # the cubic start transient from locking in integrator error
+    # (config.first_window_frozen_knots; measured 0.584 -> 0.372 deg).
+    assert rms < 0.45, f"cubic trajectory RMS {rms} deg; errs={np.round(errs,2)}"
+
+
+def test_cubic_bracket_budget_robust():
+    """Perturbing the line-search bracket budget must not blow up the cubic
+    BA (round-2 recorded a 0.6 -> 3.8 deg cliff at 16 -> 10; the
+    first-window freeze fix removed the cliff in the 12..20 band — 12, 16,
+    20 now measure identical RMS)."""
+    rms, errs = _run_cubic(bracket=12)
+    assert rms < 0.45, f"bracket=12 RMS {rms} deg; errs={np.round(errs,2)}"
 
 
 def _q(R):
