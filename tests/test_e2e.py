@@ -134,7 +134,10 @@ def test_backend_trajectory_rms(slam_run):
 
     q_gt = np.asarray(lie.from_matrix(rot_fn(times)))
     rms, errs = rotation_rms_deg(times, q_gt, q_est, "global")
-    assert rms < 0.25, f"trajectory RMS {rms} deg; errs={np.round(errs,2)}"
+    # Round-3 gate (was 0.25): measured 0.096 deg at this config — a 0.15
+    # gate makes a 0.2-deg regression fail CI while leaving noise margin
+    # (BASELINE.md north star: <= 0.1 deg vs the reference).
+    assert rms < 0.15, f"trajectory RMS {rms} deg; errs={np.round(errs,2)}"
 
 
 def test_global_map_accumulates(slam_run):

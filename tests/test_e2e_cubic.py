@@ -88,6 +88,22 @@ def _run_cubic(bracket: int = 16):
     assert len(results) >= 4
     assert all(r.ran_ba for r in results)
 
+    # Front-end omega-error percentiles on the cubic stream too (mirrors
+    # test_e2e.test_frontend_tracks_omega; measured median 0.070 / p90 0.115
+    # on the full-amplitude no-ramp profile).
+    log = slam.ang_vel_log
+
+    def omega_window_avg(t, half=0.01, k=9):
+        return np.mean(
+            [omega_fn(tt) for tt in np.linspace(t - half, t + half, k)],
+            axis=0)
+
+    fe_errs = [np.linalg.norm(row[1:] - omega_window_avg(row[0]))
+               for row in log]
+    assert np.median(fe_errs) < 0.12, f"median omega err {np.median(fe_errs)}"
+    assert np.percentile(fe_errs, 90) < 0.2, \
+        f"p90 omega err {np.percentile(fe_errs, 90)}"
+
     traj = slam.backend.traj
     assert traj.order == 4
     t0 = traj.t_beg + 1e-6
