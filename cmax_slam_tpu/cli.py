@@ -40,7 +40,9 @@ PRESETS = {
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="CMax-SLAM (TPU-native)")
     p.add_argument("--events", required=True,
-                   help="event file (.txt/.zip/.npz/.h5/.bag)")
+                   help="event file (.txt/.zip/.npz/.h5/.bag), or '-' to "
+                        "read a live 't x y p' text stream from stdin (the "
+                        "live_davis analog: pipe a camera driver in)")
     p.add_argument("--calib", default=None,
                    help="calibration (.yaml ROS camera_info or .txt 'fx fy cx "
                         "cy d...'); optional for .bag input carrying a "
@@ -93,7 +95,7 @@ def load_calibration(args) -> CameraCalibration:
     if args.calib is None:
         # Auto-calibration from the bag's CameraInfo topic, like the
         # reference's camera_info subscriber (src/cmax_slam.cpp:122-145).
-        if not args.events.endswith(".bag"):
+        if args.events == "-" or not args.events.endswith(".bag"):
             raise SystemExit("--calib is required unless --events is a .bag "
                              "with a sensor_msgs/CameraInfo topic")
         from .io.rosbag import read_rosbag_camera_info
@@ -144,7 +146,24 @@ def main(argv=None) -> int:
     iwe_done = 0
     n_events = 0
     t_first = None
-    for chunk in iter_events(args.events, args.chunk_size, args.max_events):
+    if args.events == "-":
+        from .io.streams import iter_events_text
+
+        def _limited(it, cap):
+            left = cap
+            for c in it:
+                if cap is not None:
+                    if left <= 0:
+                        return
+                    c = tuple(a[:left] for a in c)
+                    left -= len(c[2])
+                yield c
+
+        source = _limited(iter_events_text(sys.stdin, args.chunk_size),
+                          args.max_events)
+    else:
+        source = iter_events(args.events, args.chunk_size, args.max_events)
+    for chunk in source:
         n_events += len(chunk[2])
         if t_first is None and len(chunk[2]):
             t_first = float(chunk[2][0])
