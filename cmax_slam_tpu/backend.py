@@ -81,6 +81,25 @@ def _unpack_window(evd, batch_times, knots, free_mask, t0, dt_knots,
     )
 
 
+def _with_prior(f, vg, lam):
+    """Wrap an objective with a quadratic prior 0.5*lam*||x||^2 toward the
+    initialization (x is the knot-increment vector, so x=0 IS the incoming
+    trajectory). lam is a runtime scalar: 0 for the online pass (a pull
+    toward the FE-integrated guess was measured to hurt BA accuracy); >0
+    for offline refine sweeps, where the incoming trajectory is the online
+    OPTIMUM and near-still spans leave the contrast objective flat — the
+    prior pins those gauge-like directions without disturbing
+    well-constrained ones (MAP with the online estimate as prior)."""
+    def f2(x):
+        return f(x) + 0.5 * lam * jnp.sum(x * x)
+
+    def vg2(x):
+        v, g = vg(x)
+        return v + 0.5 * lam * jnp.sum(x * x), g + lam * x
+
+    return f2, vg2
+
+
 @functools.lru_cache(maxsize=None)
 def _build_window_solver(pano, order: int, blur_sigma: float, measure: int,
                          o, max_up: int, cam_width: int,
@@ -92,7 +111,8 @@ def _build_window_solver(pano, order: int, blur_sigma: float, measure: int,
 
     @jax.jit
     def solve(evd, batch_times, knots, free_mask,
-              t0, dt_knots, ig_prime, update_times, fov_times, lut_dev):
+              t0, dt_knots, ig_prime, update_times, fov_times, lut_dev,
+              prior_lam=jnp.float32(0.0)):
         K = knots.shape[0]
         win0 = _unpack_window(evd, batch_times, knots, free_mask, t0,
                               dt_knots, ig_prime, lut_dev, cam_width)
@@ -109,6 +129,7 @@ def _build_window_solver(pano, order: int, blur_sigma: float, measure: int,
         f, vg = warp_pano.make_pano_objective(
             win, pano, order, blur_sigma, measure, precision
         )
+        f, vg = _with_prior(f, vg, prior_lam)
         res = optim.minimize_fr_cg(
             vg, jnp.zeros(3 * K, jnp.float32), f_fn=f,
             max_line_searches=o.max_line_searches,
@@ -155,7 +176,7 @@ def _build_crop_solver(pano, order: int, blur_sigma: float, measure: int,
     @jax.jit
     def solve(evd, batch_times, knots, free_mask,
               t0, dt_knots, ig_prime, update_times, fov_times, crop_ints,
-              lut_dev):
+              lut_dev, prior_lam=jnp.float32(0.0)):
         K = knots.shape[0]
         win0 = _unpack_window(evd, batch_times, knots, free_mask, t0,
                               dt_knots, ig_prime, lut_dev, cam_width)
@@ -169,6 +190,7 @@ def _build_crop_solver(pano, order: int, blur_sigma: float, measure: int,
             win, pano, order, blur_sigma, measure, (Hc, Wc),
             x0f, y0f, a_crop, mask, out_s1, out_s2, precision,
         )
+        f, vg = _with_prior(f, vg, prior_lam)
         res = optim.minimize_fr_cg(
             vg, jnp.zeros(3 * K, jnp.float32), f_fn=f,
             max_line_searches=o.max_line_searches,
@@ -316,6 +338,10 @@ class Backend:
         # static window-knot count: round(win/dt) + degree
         self.K_win = int(round(self.win_size / cfg.trajectory.dt_knots)) + self.degree
         self._crop_shapes: set = set()  # (Hc, Wc) of compiled crop solvers
+        # Quadratic prior weight toward the incoming knots (runtime scalar
+        # in the solver programs): 0 online; refine_pass raises it to
+        # cfg.refine_prior_lambda for the duration of the sweep.
+        self._prior_lam = 0.0
 
     def _on_device(self):
         """Context manager pinning jax dispatches to this back-end's device
@@ -599,6 +625,129 @@ class Backend:
         return self.flush()
 
     # ------------------------------------------------------------------
+    # Offline refinement sweep (beyond the reference)
+    # ------------------------------------------------------------------
+    def refine_pass(self, source) -> List[WindowResult]:
+        """One additional sliding-window BA sweep over an already-tracked
+        stream, starting from the online trajectory and the online global
+        map.
+
+        The online pass bootstraps its map from nothing, so the first
+        windows optimize against a nearly-empty IG and their error is baked
+        into the early knots (the same cold-start transient the reference
+        has — its first window freezes `degree` knots of an FE-integrated
+        guess, pose_graph_optimizer.cpp:283-288, and never revisits them).
+        Re-running the window solves with the FULL pass-1 map as IL_old
+        anchors every window — including the first — against the same
+        globally-consistent panorama, and re-absorbs each window's events
+        at their refined alignment (progressively sharpening IG).
+
+        `source` is either a tuple of event arrays ``(xs, ys, ts[, ps])``
+        or an iterable of such chunk tuples (bounded memory: the rolling
+        buffer holds ~one window). Events must be the same stream the
+        online pass consumed (the CLI re-opens its reader; tests pass the
+        arrays). Returns the refined per-window results; the online
+        ``results``/``trajectory_log`` are left untouched.
+        """
+        if self.traj is None or self.traj.size < self.order:
+            raise ValueError("refine_pass needs a tracked trajectory; "
+                             "run the stream through the system first")
+        self.flush()
+        saved = (self.t_win_beg, self.t_win_end, self.t_av_beg,
+                 self.t_av_end, self.count_window, self.idx_cp_opt_beg,
+                 self.first_window, self._prior_lam)
+        self._prior_lam = float(self.cfg.refine_prior_lambda)
+        if isinstance(source, tuple):
+            chunks = iter([source])
+        else:
+            chunks = iter(source)
+
+        # No gauge freeze in refine: the pass-1 global map anchors every
+        # window (including the first) absolutely, and freeing knot 0 lets
+        # the solve undo online cold-start error baked into the trajectory
+        # origin (measured: linear e2e start error 0.375 -> 0.117 deg,
+        # refined RMS 0.090 -> 0.067).
+        t0 = self.traj.t_beg
+        t_traj_end = self.traj.max_time()
+        results: List[WindowResult] = []
+        bufs = [np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.float64)]
+        drained = False
+        try:
+            self.count_window = 0
+            self.t_win_beg, self.t_win_end = t0, t0 + self.win_size
+            while self.t_win_beg < t_traj_end - 1e-9:
+                # Grow the rolling buffer until it covers this window.
+                while not drained and (
+                    len(bufs[2]) == 0 or bufs[2][-1] < self.t_win_end
+                ):
+                    try:
+                        ch = next(chunks)
+                    except StopIteration:
+                        drained = True
+                        break
+                    bufs[0] = np.concatenate([bufs[0], np.asarray(ch[0], np.int32)])
+                    bufs[1] = np.concatenate([bufs[1], np.asarray(ch[1], np.int32)])
+                    bufs[2] = np.concatenate([bufs[2], np.asarray(ch[2], np.float64)])
+                ts_b = bufs[2]
+                if drained and (len(ts_b) == 0 or ts_b[-1] < self.t_win_beg):
+                    break
+                # Events past the spline domain cannot be warped (their
+                # segment clamps to the last knots) — clamp the window's
+                # event span to the trajectory, and skip a tail window
+                # whose usable span is mostly missing: re-solving weakly
+                # observed trailing knots degrades the FE-fitted tail
+                # (measured +0.26 deg on the linear e2e stream).
+                t_hi = min(self.t_win_end, t_traj_end)
+                if t_hi - self.t_win_beg < 0.7 * self.win_size:
+                    break
+                a = int(np.searchsorted(ts_b, self.t_win_beg, side="left"))
+                b = int(np.searchsorted(ts_b, t_hi - 1e-6, side="right"))
+                idx_beg = self.count_window * self.cp_stride
+                n_raw = b - a
+                ran_ba = (n_raw > self.min_events_per_win
+                          and self.traj.size > idx_beg)
+                meta = dict(index=self.count_window, t_beg=self.t_win_beg,
+                            t_end=self.t_win_end, num_events=n_raw,
+                            ran_ba=ran_ba)
+                if ran_ba:
+                    num_fixed = 0
+                    with self.metrics.timer("backend.refine"):
+                        p = self._dispatch_window_solve(
+                            bufs[0][a:b], bufs[1][a:b], ts_b[a:b],
+                            idx_beg, num_fixed,
+                        )
+                        p.update(meta)
+                        initial, final, iters = self._finish_solve(p)
+                else:
+                    initial = final = 0.0
+                    iters = 0
+                results.append(WindowResult(
+                    index=meta["index"], t_beg=meta["t_beg"],
+                    t_end=meta["t_end"], num_events=n_raw, ran_ba=ran_ba,
+                    initial_cost=initial, final_cost=final, iters=iters,
+                ))
+                logger.info(
+                    "[back-end] refine window %d [%.3f, %.3f) n=%d ba=%s "
+                    "cost=%.5f iters=%d", meta["index"], meta["t_beg"],
+                    meta["t_end"], n_raw, ran_ba, final, iters,
+                )
+                # Retire the buffer prefix the next window can't need.
+                keep = int(np.searchsorted(ts_b, self.t_win_beg
+                                           + self.win_stride, side="left"))
+                if keep > 0:
+                    bufs = [x[keep:] for x in bufs]
+                self.count_window += 1
+                self.t_win_beg += self.win_stride
+                self.t_win_end += self.win_stride
+        finally:
+            (self.t_win_beg, self.t_win_end, self.t_av_beg, self.t_av_end,
+             self.count_window, self.idx_cp_opt_beg,
+             self.first_window, self._prior_lam) = saved
+        self.metrics.count("backend.refine_windows", len(results))
+        return results
+
+    # ------------------------------------------------------------------
     def _window_arrays(self, xs, ys, ts, idx_cp_traj_beg):
         """Marshal a window's events into fixed-shape device arrays."""
         cfg = self.cfg
@@ -864,16 +1013,17 @@ class Backend:
             jnp.float32(self.cfg.trajectory.dt_knots),
             self.IG, self.update_times, jnp.asarray(fov_rel),
         )
+        lam = jnp.float32(self._prior_lam)
         plan = self._plan_crop(arrays, sub) if self.cfg.crop_solver else None
         if plan is not None:
             Hc, Wc, ints, h = plan
             crop_solve = self._get_crop_solver(size, K, Hc, Wc)
             packed, ig_new, upd_new = crop_solve(
-                *args, jnp.asarray(ints), self.lut_dev
+                *args, jnp.asarray(ints), self.lut_dev, lam
             )
         else:
             solve = self._get_solver(size, K)
-            packed, ig_new, upd_new = solve(*args, self.lut_dev)
+            packed, ig_new, upd_new = solve(*args, self.lut_dev, lam)
         return dict(
             packed=packed, ig_new=ig_new, upd_new=upd_new, plan=plan,
             args=args, size=size, K=K, n_real=n_real,
@@ -904,7 +1054,10 @@ class Backend:
                 self.metrics.count("backend.crop_escapes", 1)
                 solve = self._get_solver(p["size"], K)
                 with self._on_device():
-                    packed, ig_new, upd_new = solve(*p["args"], self.lut_dev)
+                    packed, ig_new, upd_new = solve(
+                        *p["args"], self.lut_dev,
+                        jnp.float32(self._prior_lam),
+                    )
                 packed = np.asarray(packed)
                 knots_new, stats = (packed[: 4 * K].reshape(K, 4),
                                     packed[4 * K:])

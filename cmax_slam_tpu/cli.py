@@ -55,6 +55,12 @@ def parse_args(argv=None):
     p.add_argument("--max-events", type=int, default=None)
     p.add_argument("--chunk-size", type=int, default=1 << 16)
     p.add_argument("--no-backend", action="store_true")
+    p.add_argument("--refine-passes", type=int, default=0, metavar="N",
+                   help="after the online replay, re-run N offline "
+                        "sliding-window BA sweeps over the whole stream "
+                        "starting from the online trajectory + map "
+                        "(removes the map-bootstrap transient; needs a "
+                        "re-readable event file, not stdin)")
     p.add_argument("--checkpoint-every", type=float, default=0.0,
                    help="save a checkpoint every N seconds of stream time")
     p.add_argument("--resume", default=None, metavar="STATE_NPZ",
@@ -196,6 +202,15 @@ def main(argv=None) -> int:
                 slam.backend.render_map(),
             )
     slam.flush()  # join the in-flight back-end window
+    if args.refine_passes > 0 and slam.backend is not None:
+        if args.events == "-":
+            raise SystemExit("--refine-passes needs a re-readable event "
+                             "file, not a stdin stream")
+        slam.refine(
+            lambda: iter_events(args.events, args.chunk_size,
+                                args.max_events),
+            passes=args.refine_passes,
+        )
     wall = time.perf_counter() - t_wall
 
     # --- outputs ---

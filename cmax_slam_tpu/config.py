@@ -175,6 +175,15 @@ class BackendConfig:
     # One frozen knot pins the gauge just as well; None = reference
     # semantics (degree).
     first_window_frozen_knots: int | None = 1
+    # Quadratic prior weight 0.5*lam*||dx||^2 toward the incoming knots,
+    # applied ONLY during offline refine sweeps (Backend.refine_pass),
+    # where the incoming trajectory is the online optimum (MAP prior). The
+    # online pass always runs with 0 (a pull toward the FE-integrated
+    # guess was measured to hurt BA). Measured ~nil effect on the e2e
+    # streams once tail windows are domain-clamped (0.0899 vs 0.0902 at
+    # lam=100), so it defaults off; kept as a robustness knob for weakly
+    # textured recordings.
+    refine_prior_lambda: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -71,6 +71,12 @@ for i in range(0, n, 20000):
                      ev.ts[i:i+20000], ev.pols[i:i+20000])
 slam.flush()
 
+REFINE = int(os.environ.get("REFINE", 0))
+if REFINE:
+    for r in slam.refine((ev.xs, ev.ys, ev.ts, ev.pols), passes=REFINE):
+        print(f"refine win {r.index}: n={r.num_events} f0={r.initial_cost:.5f} "
+              f"f={r.final_cost:.5f} iters={r.iters}")
+
 for r in slam.window_results():
     print(f"win {r.index}: n={r.num_events} f0={r.initial_cost:.5f} "
           f"f={r.final_cost:.5f} iters={r.iters}")

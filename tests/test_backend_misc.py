@@ -105,3 +105,50 @@ def test_run_returns_every_completed_window():
     slam.flush()
     results = slam.window_results()
     assert [r.index for r in results] == sorted(set(r.index for r in results))
+
+
+def test_refine_requires_tracked_trajectory():
+    slam = _make()
+    with pytest.raises(ValueError, match="tracked trajectory"):
+        slam.backend.refine_pass((np.zeros(0, np.int32),
+                                  np.zeros(0, np.int32), np.zeros(0)))
+
+
+def test_refine_multipass_needs_rereadable_source():
+    slam = _make()
+    with pytest.raises(ValueError, match="re-readable"):
+        slam.refine(iter([]), passes=2)
+
+
+def test_refine_then_continue_streaming():
+    """Mid-stream polish: refine restores the live cursors, so the online
+    pass continues cleanly afterwards (linear spline, small pano)."""
+    slam = _make()
+    ev = _stream()
+    half = len(ev.ts) // 2
+    for i in range(0, half, 20000):
+        j = min(i + 20000, half)
+        slam.push_events(ev.xs[i:j], ev.ys[i:j], ev.ts[i:j], ev.pols[i:j])
+    slam.flush()
+    n_online = len(slam.window_results())
+    assert n_online >= 1
+    cursors = (slam.backend.t_win_beg, slam.backend.t_win_end,
+               slam.backend.count_window, slam.backend.idx_cp_opt_beg)
+    ref = slam.refine((ev.xs[:half], ev.ys[:half], ev.ts[:half],
+                       ev.pols[:half]))
+    assert len(ref) >= 1
+    assert (slam.backend.t_win_beg, slam.backend.t_win_end,
+            slam.backend.count_window,
+            slam.backend.idx_cp_opt_beg) == cursors
+    # chunked-iterator source must cover the same windows as the array form
+    ref2 = slam.refine(iter(
+        [(ev.xs[i:i+9000], ev.ys[i:i+9000], ev.ts[i:i+9000])
+         for i in range(0, half, 9000)]
+    ))
+    assert [r.index for r in ref2] == [r.index for r in ref]
+    assert [r.num_events for r in ref2] == [r.num_events for r in ref]
+    for i in range(half, len(ev.ts), 20000):
+        slam.push_events(ev.xs[i:i+20000], ev.ys[i:i+20000],
+                         ev.ts[i:i+20000], ev.pols[i:i+20000])
+    slam.flush()
+    assert len(slam.window_results()) > n_online

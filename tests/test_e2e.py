@@ -155,3 +155,20 @@ def test_checkpoint_roundtrip(slam_run, tmp_path):
     assert d["knots"].shape[1] == 4
     np.testing.assert_allclose(d["IG"], slam.backend.IG)
     assert d["ang_vel_log"].shape[0] == len(slam.frontend.estimates)
+
+
+def test_refine_reaches_north_star(slam_run):
+    """KEEP LAST in this module: refine mutates the module fixture's
+    backend state (knots + map). One offline sweep over the same stream
+    pushes the linear path under BASELINE.md's 0.1-deg north star
+    (online gate above: 0.15)."""
+    slam, rot_fn, omega_fn, ev = slam_run
+    slam.refine((ev.xs, ev.ys, ev.ts, ev.pols))
+    from cmax_slam_tpu import lie
+    from cmax_slam_tpu.utils.evaluate import rotation_rms_deg
+
+    traj = slam.backend.traj
+    times = np.linspace(traj.t_beg + 1e-6, traj.max_time() - 1e-6, 60)
+    q_gt = np.asarray(lie.from_matrix(rot_fn(times)))
+    rms, errs = rotation_rms_deg(times, q_gt, traj.evaluate(times), "global")
+    assert rms < 0.1, f"refined RMS {rms} deg; errs={np.round(errs, 2)}"

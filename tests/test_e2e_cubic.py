@@ -47,7 +47,7 @@ def smooth_rot_fn_noramp(duration, dt_int=1e-3):
     return rot_fn, omega
 
 
-def _run_cubic(bracket: int = 16):
+def _run_cubic(bracket: int = 16, refine_passes: int = 0):
     rng = np.random.default_rng(11)
     duration = 0.8
     rot_fn, omega_fn = smooth_rot_fn_noramp(duration)
@@ -88,6 +88,17 @@ def _run_cubic(bracket: int = 16):
     assert len(results) >= 4
     assert all(r.ran_ba for r in results)
 
+    if refine_passes:
+        online_snapshot = list(results)
+        ref_results = slam.refine((ev.xs, ev.ys, ev.ts, ev.pols),
+                                  passes=refine_passes)
+        assert all(r.ran_ba for r in ref_results)
+        # refine starts from the online optimum against the FULL map: each
+        # window solve may only improve the objective.
+        assert all(r.final_cost <= r.initial_cost + 1e-6 for r in ref_results)
+        # online results list untouched (refine keeps its own bookkeeping)
+        assert slam.backend.results == online_snapshot
+
     # Front-end omega-error percentiles on the cubic stream too (mirrors
     # test_e2e.test_frontend_tracks_omega; measured median 0.070 / p90 0.115
     # on the full-amplitude no-ramp profile).
@@ -124,6 +135,15 @@ def test_cubic_backend_rms():
     # the cubic start transient from locking in integrator error
     # (config.first_window_frozen_knots; measured 0.584 -> 0.372 deg).
     assert rms < 0.45, f"cubic trajectory RMS {rms} deg; errs={np.round(errs,2)}"
+
+
+def test_cubic_refine_pass_rms():
+    """One offline refine sweep (CMaxSLAM.refine) removes the map-bootstrap
+    transient the online pass bakes into the early knots: measured
+    0.372 -> 0.088 deg — under BASELINE.md's 0.1 deg north star. Gate
+    0.15 leaves noise margin."""
+    rms, errs = _run_cubic(refine_passes=1)
+    assert rms < 0.15, f"refined cubic RMS {rms} deg; errs={np.round(errs,2)}"
 
 
 def test_cubic_bracket_budget_robust():
