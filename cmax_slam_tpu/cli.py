@@ -124,6 +124,12 @@ def main(argv=None) -> int:
     configure_logging(args.verbose)
     os.makedirs(args.out_dir, exist_ok=True)
 
+    if args.refine_passes > 0 and (args.events == "-" or args.no_backend):
+        # Reject up front: discovering this after an hours-long live replay
+        # would discard the whole run before any output is written.
+        raise SystemExit("--refine-passes needs a re-readable event file "
+                         "and a back-end (not --events - / --no-backend)")
+
     calib = load_calibration(args)
     cfg = apply_overrides(PRESETS[args.preset](), args.set)
 
@@ -153,20 +159,10 @@ def main(argv=None) -> int:
     n_events = 0
     t_first = None
     if args.events == "-":
-        from .io.streams import iter_events_text
+        from .io.streams import _limit, iter_events_text
 
-        def _limited(it, cap):
-            left = cap
-            for c in it:
-                if cap is not None:
-                    if left <= 0:
-                        return
-                    c = tuple(a[:left] for a in c)
-                    left -= len(c[2])
-                yield c
-
-        source = _limited(iter_events_text(sys.stdin, args.chunk_size),
-                          args.max_events)
+        source = _limit(iter_events_text(sys.stdin, args.chunk_size),
+                        args.max_events)
     else:
         source = iter_events(args.events, args.chunk_size, args.max_events)
     for chunk in source:
@@ -203,9 +199,6 @@ def main(argv=None) -> int:
             )
     slam.flush()  # join the in-flight back-end window
     if args.refine_passes > 0 and slam.backend is not None:
-        if args.events == "-":
-            raise SystemExit("--refine-passes needs a re-readable event "
-                             "file, not a stdin stream")
         slam.refine(
             lambda: iter_events(args.events, args.chunk_size,
                                 args.max_events),

@@ -172,7 +172,7 @@ def _build_stride_solver(cam, batch_size: int, blur_sigma: float,
 
                 def f(omega):
                     iwe = warp_local.local_iwe(omega, packet, cam, sigma,
-                                               precision)
+                                               precision, impl=impl)
                     return -contrast(iwe, measure)
 
                 return f

@@ -165,7 +165,10 @@ def _line_search_vec(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals):
     # around alpha0): a wider global-argmin span was measured to hop
     # across contrast basins on warm-started packet solves (FE omega
     # median error 0.066 -> 0.074 rad/s, cubic e2e 0.67 -> 0.83 deg).
-    half = min(max_evals, 9) // 2
+    # 2*half+1 rungs, capped so the batched sweep never spends more forward
+    # evaluations than the configured bracket budget (max_evals=4 -> 3
+    # rungs, not 5; at the default 16 the span cap of 9 rungs governs).
+    half = min(max_evals - 1, 9) // 2
     ms = jnp.arange(-half, half + 1, dtype=dtype)
     alphas = alpha0 * (2.0 ** ms)
     fs = jax.vmap(lambda a: f_fn(x + a * u))(alphas).astype(dtype)

@@ -147,6 +147,7 @@ def _run_round(bearings, dts, weights, states, cam, blur_sigma, measure, opt,
             stagnation_patience=opt.stagnation_patience,
             initial_step=opt.initial_step,
             cg_variant=opt.cg_variant,
+            ladder=opt.ladder,
         )
         return optim.cg_run_rounds(body, s, round_iters,
                                    opt.max_line_searches)
@@ -196,8 +197,8 @@ def track_batched_compacted(
     "data" axis: the host compacts survivors GLOBALLY across devices and
     re-shards each round, so multi-chip throughput keeps the straggler-free
     schedule (each solve is device-local — no collectives in the hot loop;
-    buckets are padded to a multiple of 4x the device count so the
-    {1,1.25,1.5,1.75}x2^k ladder always splits evenly).
+    every round's bucket is rounded up to a multiple of the device count so
+    the lane axis always splits evenly).
 
     Returns (times, omegas, costs, iters) like track_batched.
     """
@@ -207,7 +208,7 @@ def track_batched_compacted(
     Pn = batch.bearings.shape[0]
     max_ls = opt.max_line_searches
 
-    shard = rep = None
+    shard = None
     if mesh is not None:
         n_dev = int(mesh.devices.size)
         # smallest ladder bucket must split across devices
@@ -272,6 +273,11 @@ def track_batched_compacted(
             if n == 0:
                 break
             bucket = _quantize_bucket(n, min_bucket)
+            if mesh is not None:
+                # {1,1.25,1.5,1.75}x2^k sizes divide evenly only for
+                # power-of-two device counts; round up so the lane axis
+                # always splits across the mesh (e.g. 6 devices: 28 -> 30).
+                bucket = -(-bucket // n_dev) * n_dev
             idx = np.resize(active, bucket)  # pad by cycling (extras ignored)
             sub = optim.CGState(*(put(np.asarray(a)[idx]) for a in st))
             round_iters = round_schedule[min(rounds, len(round_schedule) - 1)]

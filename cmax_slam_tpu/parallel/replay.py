@@ -74,9 +74,17 @@ def replay_multichip(
     chunk_events: int = 50_000,
     devices: Optional[Sequence] = None,
     sample_dt: float = 0.01,
+    refine_passes: int = 0,
 ):
     """Replay a full recording as ``n_segments`` independent SLAM systems,
     one per device, and stitch the refined trajectories.
+
+    ``refine_passes > 0`` runs that many offline refinement sweeps
+    (CMaxSLAM.refine) per segment before stitching — all segments refine
+    CONCURRENTLY, one host thread per device (the window solves are
+    device-bound; np.asarray/device_get release the GIL). Sharper segment
+    interiors also mean sharper overlaps, which is what the Procrustes
+    gauge alignment samples.
 
     Returns (times, quats, segments): the stitched trajectory sampled every
     ``sample_dt`` seconds (gauge of segment 0) plus the per-segment systems
@@ -137,7 +145,29 @@ def replay_multichip(
     for seg in segs:
         seg.slam.close()
 
+    if refine_passes > 0:
+        refine_segments(segs, xs, ys, ts, ps, refine_passes)
+
     return stitch_segments(segs, sample_dt) + (segs,)
+
+
+def refine_segments(segs: List[Segment], xs, ys, ts, ps,
+                    passes: int = 1) -> None:
+    """Run offline refinement sweeps on every segment CONCURRENTLY — one
+    host thread per device (window solves are device-bound;
+    np.asarray/device_get release the GIL)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _refine(seg):
+        with jax.default_device(seg.device):
+            seg.slam.refine(
+                (xs[seg.ev_lo:seg.ev_hi], ys[seg.ev_lo:seg.ev_hi],
+                 ts[seg.ev_lo:seg.ev_hi], ps[seg.ev_lo:seg.ev_hi]),
+                passes=passes,
+            )
+
+    with ThreadPoolExecutor(len(segs)) as ex:
+        list(ex.map(_refine, segs))  # list() re-raises worker errors
 
 
 def stitch_segments(segs: List[Segment], sample_dt: float = 0.01):

@@ -102,6 +102,17 @@ def test_segmented_replay_stitches(long_stream):
     # the stitch seams must not be outliers: per-sample error stays bounded
     assert errs.max() < 1.5, f"seam outlier: max err {errs.max()} deg"
 
+    # Concurrent per-segment offline refinement (replay_multichip's
+    # refine_passes path): sharper interiors AND overlaps, so the refined
+    # stitched trajectory must beat the online one.
+    replay.refine_segments(segs, ev.xs, ev.ys, ev.ts, ev.pols, passes=1)
+    times_r, quats_r = replay.stitch_segments(segs)
+    q_gt_r = np.asarray(lie.from_matrix(rot_fn(times_r)))
+    rms_r, errs_r = rotation_rms_deg(times_r, q_gt_r, quats_r, "global")
+    print(f"refined stitched: RMS {rms_r:.4f} deg, max err {errs_r.max():.3f}")
+    assert rms_r < min(0.35, rms + 0.05), \
+        f"refined stitched RMS {rms_r} deg (online was {rms})"
+
 
 def test_segmented_replay_validates_inputs(long_stream):
     ev, _ = long_stream
