@@ -44,6 +44,17 @@ cfg = SystemConfig(
         max_events_per_window=1 << 20,
     ),
 )
+# A/B knobs for the window-time hunt (VERDICT r2 item 2): the BA line-search
+# ladder ("vector" = all bracket rungs in ONE batched objective call) and the
+# vote matmul precision.
+from cmax_slam_tpu.config import replace as _cfg_replace  # noqa: E402
+_LADDER = os.environ.get("ECROT_LADDER")
+_PREC = os.environ.get("ECROT_PRECISION")
+if _LADDER:
+    cfg = _cfg_replace(cfg, **{"backend.optim.ladder": _LADDER})
+if _PREC:
+    cfg = _cfg_replace(cfg, **{"backend.warp.precision": _PREC})
+print(f"ba_ladder={_LADDER or 'sequential'} precision={_PREC or 'highest'}")
 slam = CMaxSLAM(calib, cfg)
 t0 = time.perf_counter()
 for i in range(0, n, 50000):
