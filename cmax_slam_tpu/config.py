@@ -95,7 +95,11 @@ class OptimOptions:
     # a time in a while_loop (GSL-shaped); "vector" evaluates every rung in
     # one vmapped objective call — much faster on TPU for small objectives
     # where loop-iteration overhead dominates (the front-end packet solve),
-    # and it picks the globally best rung instead of the first local dip.
+    # and it picks the globally best rung instead of the first local dip;
+    # "grid" evaluates the sequential ladder's whole reachable 2^m grid in
+    # one batched call and REPLAYS the sequential decision process over the
+    # values — the sequential pick (safe for the curved-valley BA, where
+    # "vector"'s global argmin hops basins) at vector-call latency.
     ladder: str = "sequential"
     # Conjugate-direction formula: "fr" = Fletcher-Reeves (GSL conjugate_fr,
     # the reference's method); "pr" = Polak-Ribiere+ (auto-restarting beta;

@@ -50,7 +50,7 @@ def _build_packet_solver(cam, batch_size: int, blur_sigma: float,
     # IWE kernel re-launches per vmap lane, so route votes through the XLA
     # path there (it batches into one MXU contraction and is also the
     # faster single-eval impl at packet size: 30 vs 74 us measured).
-    impl = "xla" if o.ladder == "vector" else "auto"
+    impl = "xla" if o.ladder in ("vector", "grid") else "auto"
 
     @jax.jit
     def solve(evdata, t_ref, omega0, lut):
@@ -131,7 +131,7 @@ def _build_stride_solver(cam, batch_size: int, blur_sigma: float,
     to iterate on)."""
     del sweeps
 
-    impl = "xla" if o.ladder == "vector" else "auto"
+    impl = "xla" if o.ladder in ("vector", "grid") else "auto"
 
     def minimize(f, x0, max_ls):
         return optim.minimize_fr_cg(

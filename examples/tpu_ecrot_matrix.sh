@@ -6,7 +6,7 @@ cd "$(dirname "$0")/.."
 LOG=/tmp/ecrot_matrix.log
 : > "$LOG"
 for prec in highest default; do
-  for ladder in sequential vector; do
+  for ladder in sequential vector grid; do
     echo "=== precision=$prec ladder=$ladder ===" | tee -a "$LOG"
     ECROT_PRECISION=$prec ECROT_LADDER=$ladder \
       timeout 1800 python examples/tpu_ecrot_scale_check.py 2>&1 \

@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 LOG=/tmp/rt_matrix.log
 : > "$LOG"
 for prec in highest default; do
-  for ladder in sequential vector; do
+  for ladder in sequential vector grid; do
     echo "=== precision=$prec ladder=$ladder ===" | tee -a "$LOG"
     RT_PRECISION=$prec RT_BA_LADDER=$ladder \
       timeout 1200 python examples/tpu_realtime_check.py 2>&1 \

@@ -71,3 +71,30 @@ def test_already_converged_at_start():
     res = optim.minimize_fr_cg(jax.value_and_grad(f), jnp.zeros(3), grad_tol=1e-3)
     assert np.all(np.isfinite(np.asarray(res.x)))
     assert float(res.fun) <= 1e-12
+
+
+def test_grid_ladder_matches_sequential():
+    """ladder='grid' batches the bracket evaluations but must REPLAY the
+    sequential ladder's decisions: same step choices, same iterates, same
+    iteration counts (up to vmap-reassociation float noise) on objectives
+    where 'vector''s global argmin may pick different rungs."""
+    import numpy as np
+
+    def rosen(x):
+        return (100.0 * (x[1] - x[0] ** 2) ** 2 + (1 - x[0]) ** 2
+                + 100.0 * (x[2] - x[1] ** 2) ** 2 + (1 - x[1]) ** 2)
+
+    for f, x0, ls in [
+        (lambda x: jnp.sum((x - jnp.array([0.3, -0.7, 1.1])) ** 2) +
+         0.3 * jnp.sin(5 * x[0]), jnp.zeros(3), 40),
+        (rosen, jnp.array([-1.2, 1.0, -0.5]), 60),
+    ]:
+        rs = optim.minimize_fr_cg(jax.value_and_grad(f), x0,
+                                  max_line_searches=ls, ladder="sequential")
+        rg = optim.minimize_fr_cg(jax.value_and_grad(f), x0,
+                                  max_line_searches=ls, ladder="grid")
+        assert int(rs.iters) == int(rg.iters), (rs.iters, rg.iters)
+        np.testing.assert_allclose(np.asarray(rg.x), np.asarray(rs.x),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(rg.fun), float(rs.fun),
+                                   rtol=1e-5, atol=1e-7)
