@@ -59,6 +59,9 @@ def batched_packet_solve(
             grad_tol=opt.grad_tol,
             fun_tol=opt.fun_tol,
             max_fevals_per_linesearch=opt.max_fevals_per_linesearch,
+            stagnation_patience=opt.stagnation_patience,
+            ladder=opt.ladder,
+            cg_variant=opt.cg_variant,
         )
         return res.x, res.fun, res.iters
 
