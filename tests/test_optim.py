@@ -98,3 +98,19 @@ def test_grid_ladder_matches_sequential():
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(float(rg.fun), float(rs.fun),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_grid_ladder_under_vmap():
+    """make_cg_body(ladder='grid') must compose with vmap (nested vmap:
+    lanes x ladder rungs) — the batched trackers vmap the CG body."""
+    import numpy as np
+
+    def f(x):
+        return jnp.sum((x - jnp.array([0.5, -0.25, 1.0])) ** 2)
+
+    body = optim.make_cg_body(jax.value_and_grad(f), f, dim=3, ladder="grid")
+    states = jax.vmap(lambda x0: optim.cg_init(jax.value_and_grad(f), x0))(
+        jnp.stack([jnp.zeros(3), jnp.ones(3), -jnp.ones(3), 2 * jnp.ones(3)])
+    )
+    out = jax.vmap(lambda s: optim.cg_run_rounds(body, s, 8, 50))(states)
+    assert np.all(np.asarray(out.f) < 1e-3), np.asarray(out.f)
