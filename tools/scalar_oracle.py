@@ -385,6 +385,84 @@ class LinearSpline:
         self.knots.extend(fitted[drop_head:])
 
 
+class CubicSpline:
+    """Uniform cumulative SO(3) B-spline of order 4 (degree 3), the
+    reference's spline_degree=3 mode (basalt So3Spline at order 4;
+    trajectory.cpp:86-110). Knots-forward convention: the segment at
+    ``t in [t_i, t_{i+1})`` uses knots i..i+3, so the evaluable span is
+    ``[t0, t0 + (size-3)*dt]``. Written independently from the standard
+    cumulative-basis formulation (uniform cubic B-spline basis summed from
+    the tail): btilde_1 = (5+3u-3u^2+u^3)/6, btilde_2 = (1+3u+3u^2-2u^3)/6,
+    btilde_3 = u^3/6."""
+
+    def __init__(self, t0: float, dt: float):
+        self.t0 = t0
+        self.dt = dt
+        self.knots: List[np.ndarray] = []
+
+    @property
+    def size(self) -> int:
+        return len(self.knots)
+
+    def knot_time(self, i: int) -> float:
+        return self.t0 + i * self.dt
+
+    def max_time(self) -> float:
+        return self.t0 + (len(self.knots) - 3) * self.dt
+
+    def evaluate(self, t: float) -> np.ndarray:
+        return self.evaluate_many(np.array([t]))[0]
+
+    def evaluate_many(self, ts: np.ndarray) -> np.ndarray:
+        K = np.stack(self.knots)
+        u = (np.asarray(ts, np.float64) - self.t0) / self.dt
+        i = np.clip(np.floor(u).astype(np.int64), 0, len(self.knots) - 4)
+        u = u - i
+        d1 = qlog_b(qmul_b(qinv_b(K[i]), K[i + 1]))
+        d2 = qlog_b(qmul_b(qinv_b(K[i + 1]), K[i + 2]))
+        d3 = qlog_b(qmul_b(qinv_b(K[i + 2]), K[i + 3]))
+        u2 = u * u
+        u3 = u2 * u
+        b1 = (5.0 + 3.0 * u - 3.0 * u2 + u3) / 6.0
+        b2 = (1.0 + 3.0 * u + 3.0 * u2 - 2.0 * u3) / 6.0
+        b3 = u3 / 6.0
+        q = qmul_b(K[i], qexp_b(b1[:, None] * d1))
+        q = qmul_b(q, qexp_b(b2[:, None] * d2))
+        return qmul_b(q, qexp_b(b3[:, None] * d3))
+
+    def fit_append(self, times: np.ndarray, quats: np.ndarray,
+                   t_beg: float, num_cps: int, drop_head: int) -> None:
+        """Same GN-on-FD-Jacobian fit as LinearSpline.fit_append, with the
+        cubic evaluable span [t_beg, t_beg + (num_cps-3)*dt]."""
+        knot_ts = t_beg + self.dt * np.arange(num_cps)
+        init = [interp_pose(times, quats, tk) for tk in knot_ts]
+        base = np.stack(init)
+        t_max = t_beg + (num_cps - 3) * self.dt
+        tj = np.clip(times, t_beg, t_max - 1e-12)
+
+        def residuals(dv):
+            dv = dv.reshape(num_cps, 3)
+            sp = CubicSpline(t_beg, self.dt)
+            sp.knots = list(qmul_b(qexp_b(dv), base))
+            return qlog_b(qmul_b(qinv_b(quats), sp.evaluate_many(tj))).ravel()
+
+        dv = np.zeros(3 * num_cps)
+        for _ in range(3):
+            r0 = residuals(dv)
+            J = np.zeros((len(r0), len(dv)))
+            h = 1e-6
+            for j in range(len(dv)):
+                dp = dv.copy(); dp[j] += h
+                J[:, j] = (residuals(dp) - r0) / h
+            sol, *_ = np.linalg.lstsq(J, -r0, rcond=None)
+            dv = dv + sol
+            if np.linalg.norm(sol) < 1e-10:
+                break
+        dv = dv.reshape(num_cps, 3)
+        fitted = [qmul(qexp(dv[k]), base[k]) for k in range(num_cps)]
+        self.knots.extend(fitted[drop_head:])
+
+
 def interp_pose(times: np.ndarray, quats: np.ndarray, t: float) -> np.ndarray:
     """Geodesic interpolation of a pose polyline at time t (clamped)."""
     if t <= times[0]:
@@ -510,12 +588,18 @@ class OracleBackend:
     min_ev_rate: float
     max_update_times: int
     max_iters: int = 100
+    spline_degree: int = 1
+    # Knots frozen in the very first window: None = reference semantics
+    # (`degree`); the production library's de-cliffed default is 1
+    # (config.first_window_frozen_knots).
+    first_window_frozen_knots: Optional[int] = None
 
     trajectory_log: List[Tuple[float, np.ndarray]] = field(default_factory=list)
 
     def __post_init__(self):
-        self.order = 2
-        self.degree = 1
+        self.degree = 3 if self.spline_degree == 3 else 1
+        self.order = self.degree + 1
+        self._spline_cls = CubicSpline if self.degree == 3 else LinearSpline
         # Equirectangular focal: full panorama spans 2*pi x pi
         self.pfx = self.pano_width / (2.0 * np.pi)
         self.pfy = self.pano_height / np.pi
@@ -529,7 +613,7 @@ class OracleBackend:
         by = (gy - self.cy) / self.fy
         lut = np.stack([bx.ravel(), by.ravel(), np.ones(bx.size)], axis=-1)
         self.lut = lut / np.linalg.norm(lut, axis=-1, keepdims=True)
-        self.traj: Optional[LinearSpline] = None
+        self.traj = None
 
     def run(self, xs, ys, ts, av_times, av_vals) -> LinearSpline:
         """Replay the full window protocol over a finished (t, omega) log."""
@@ -543,7 +627,7 @@ class OracleBackend:
         t_win_beg = t0
         t_win_end = t0 + self.time_window_size
         t_av_beg, t_av_end = t_win_beg, t_win_end
-        self.traj = LinearSpline(t_win_beg, self.dt_knots)
+        self.traj = self._spline_cls(t_win_beg, self.dt_knots)
         q_curr = np.array([1.0, 0.0, 0.0, 0.0])
         t_curr = t0
         w_prev, t_prev = av_vals[0], av_times[0]
@@ -581,7 +665,8 @@ class OracleBackend:
                     + self.degree
                 drop = 0 if first_window else self.degree
                 if first_window:
-                    idx_cp_opt_beg = self.degree
+                    nfz = self.first_window_frozen_knots
+                    idx_cp_opt_beg = self.degree if nfz is None else int(nfz)
                     first_window = False
                 self.traj.fit_append(
                     np.asarray(pose_times), np.stack(pose_quats),
@@ -620,7 +705,7 @@ class OracleBackend:
 
     # -- pano warp of one window's events through a candidate sub-trajectory
     def _warp(self, knots, t_knot0, b, batch_ids, batch_mids):
-        ks = LinearSpline(t_knot0, self.dt_knots)
+        ks = self._spline_cls(t_knot0, self.dt_knots)
         ks.knots = list(knots)
         Rb = qmat_b(ks.evaluate_many(batch_mids))  # (B, 3, 3)
         R = Rb[batch_ids]  # (n, 3, 3)
