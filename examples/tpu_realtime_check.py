@@ -26,7 +26,7 @@ FX = FY = 180.0
 # Default 390k ev/s matches shapes_rotation's mean rate (~23M events/59.8 s,
 # the sequence ijrr.launch replays at rate 1.0); override with RT_RATE.
 RATE = int(os.environ.get("RT_RATE", 390_000))  # events/s
-DURATION = 6.0            # seconds of stream
+DURATION = float(os.environ.get("RT_DURATION", 6.0))  # seconds of stream
 CHUNK = RATE // 10        # feed granularity (~0.1 s of stream)
 
 rng = np.random.default_rng(11)
@@ -54,6 +54,19 @@ cfg = cfg_replace(cfg, **{"frontend.warp.precision": PRECISION,
 BA_LADDER = os.environ.get("RT_BA_LADDER")
 if BA_LADDER:
     cfg = cfg_replace(cfg, **{"backend.optim.ladder": BA_LADDER})
+# Generic overrides for bisecting: RT_SET="frontend.optim.ladder=sequential,
+# frontend.batch_sweeps=0" (typed by the current value at each dotted path).
+for kv in filter(None, os.environ.get("RT_SET", "").split(",")):
+    key, val = kv.split("=", 1)
+    cur = cfg
+    for part in key.split(".")[:-1]:
+        cur = getattr(cur, part)
+    old = getattr(cur, key.split(".")[-1])
+    typed = val if isinstance(old, str) else type(old)(
+        float(val) if isinstance(old, float) else int(val)
+        if isinstance(old, (int, bool)) else val)
+    cfg = cfg_replace(cfg, **{key: typed})
+    print(f"override {key} = {typed!r}")
 print(f"vote precision: {PRECISION}  ba_ladder: {BA_LADDER or 'sequential'}")
 
 
@@ -64,10 +77,11 @@ def replay(slam, n_events):
     slam.flush()  # wall time includes joining the last in-flight window
 
 
-print("warmup pass (compiles)...", flush=True)
-t0 = time.perf_counter()
-replay(CMaxSLAM(calib, cfg), n)
-print(f"warmup replay: {time.perf_counter() - t0:.1f}s", flush=True)
+if os.environ.get("RT_WARMUP", "1") != "0":
+    print("warmup pass (compiles)...", flush=True)
+    t0 = time.perf_counter()
+    replay(CMaxSLAM(calib, cfg), n)
+    print(f"warmup replay: {time.perf_counter() - t0:.1f}s", flush=True)
 
 slam = CMaxSLAM(calib, cfg)
 t0 = time.perf_counter()
