@@ -134,6 +134,58 @@ def test_cli_rosbag_autocalib_and_iwe_dump(dataset, tmp_path):
     assert np.median(errs) < 0.2
 
 
+def test_cli_rosbag_full_system(tmp_path):
+    """The reference's primary input path end-to-end: a .bag carrying BOTH
+    the event stream and the CameraInfo calibration (launch/ijrr.launch
+    plays a bag; src/cmax_slam.cpp:122-145 reads one CameraInfo and
+    unsubscribes) driven through the CLI with the back-end ON — trajectory,
+    pano map, and checkpoint outputs must land."""
+    from test_io import _camera_info_msg, _event_array_msg, _write_test_bag
+
+    rng = np.random.default_rng(9)
+    duration = 0.5
+    ev = synthetic.rotating_camera_events(
+        rng, 40000, duration, np.array([0.9, -1.4, 2.0]),
+        FX, FY, W / 2, H / 2, W, H, n_points=250,
+    )
+    bag = str(tmp_path / "full.bag")
+    # CameraInfo arrives mid-stream (connection 1) like a real recording.
+    msgs = [(1, _camera_info_msg(W, H, FX, FY, W / 2, H / 2, d=[0] * 5))]
+    step = 5000
+    for i in range(0, len(ev.ts), step):
+        msgs.append((0, _event_array_msg(
+            ev.xs[i:i+step], ev.ys[i:i+step], ev.ts[i:i+step],
+            ev.pols[i:i+step], width=W, height=H,
+        )))
+    _write_test_bag(
+        bag, msgs,
+        conns=[("/dvs/events", "dvs_msgs/EventArray"),
+               ("/dvs/camera_info", "sensor_msgs/CameraInfo")],
+    )
+    out = os.path.join(str(tmp_path), "out")
+    rc = cli.main(["--events", bag, "--out-dir", out, *SETTINGS])
+    assert rc == 0
+    for f in ("angular_velocity.txt", "trajectory_tum.txt", "pano_map.png",
+              "final_state.npz", "stats.json"):
+        assert os.path.exists(os.path.join(out, f)), f
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    assert stats["windows"] >= 2
+    av = np.loadtxt(os.path.join(out, "angular_velocity.txt"))
+    errs = np.linalg.norm(av[:, 1:] - np.array([0.9, -1.4, 2.0]), axis=1)
+    assert np.median(errs) < 0.2
+    # the trajectory tracks the constant-omega ground truth (gauge-aligned)
+    from cmax_slam_tpu import spline
+    from cmax_slam_tpu.utils.evaluate import (read_tum_trajectory,
+                                              rotation_rms_deg)
+
+    times, quats = read_tum_trajectory(os.path.join(out, "trajectory_tum.txt"))
+    t0 = float(ev.ts[0])
+    q_gt = np.stack([spline._np_quat_exp(np.array([0.9, -1.4, 2.0]) * (t - t0))
+                     for t in times])
+    rms, _ = rotation_rms_deg(times, q_gt, quats, "global")
+    assert rms < 1.0, f"bag e2e trajectory RMS {rms} deg"
+
+
 def test_compare_to_reference_tool(tmp_path):
     """tools/compare_to_reference.py: gauge-aligned self-comparison of a
     trajectory against a gauge-rotated copy is ~0; a corrupted trajectory

@@ -15,6 +15,10 @@ from cmax_slam_tpu.config import (
 from cmax_slam_tpu.io import synthetic
 from cmax_slam_tpu.system import CMaxSLAM
 
+# Full-tier suite: long e2e run (see pytest.ini; run with -m "")
+pytestmark = pytest.mark.slow
+
+
 W, H = 120, 90
 FX = FY = 90.0
 

@@ -16,6 +16,10 @@ from cmax_slam_tpu.utils.evaluate import rotation_rms_deg
 
 from test_e2e import smooth_rot_fn, W, H, FX, FY
 
+# Full-tier suite: long e2e run (see pytest.ini; run with -m "")
+pytestmark = pytest.mark.slow
+
+
 
 def smooth_rot_fn_noramp(duration, dt_int=1e-3):
     """Full-amplitude smooth profile from t=0: measures steady-state cubic

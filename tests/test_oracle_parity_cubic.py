@@ -28,6 +28,10 @@ from cmax_slam_tpu.io import synthetic
 from cmax_slam_tpu.system import CMaxSLAM
 from cmax_slam_tpu.utils.evaluate import rotation_rms_deg
 
+# Full-tier suite: long e2e run (see pytest.ini; run with -m "")
+pytestmark = pytest.mark.slow
+
+
 W, H = 120, 90
 FXY = 90.0
 DURATION = 0.9
