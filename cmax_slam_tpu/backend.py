@@ -100,20 +100,39 @@ def _with_prior(f, vg, lam):
     return f2, vg2
 
 
+def _unpack_smalls(smalls, K: int, F: int):
+    """Decode the fused per-window small-argument vector (see
+    Backend._pack_smalls): [batch_times(B) | knots(4K) | free(K) |
+    fov_times(F) | crop_ints(6) | prior_lam, t0, dt_knots]. One packed
+    upload replaces seven small host->device transfers — on a remote-device
+    tunnel each transfer is its own RPC, and the per-window dispatch cost
+    is set by RPC count, not bytes."""
+    B = smalls.shape[0] - 5 * K - F - 9
+    batch_times = smalls[:B]
+    knots = smalls[B:B + 4 * K].reshape(K, 4)
+    free_mask = smalls[B + 4 * K:B + 5 * K]
+    fov_times = smalls[B + 5 * K:B + 5 * K + F]
+    crop_ints = smalls[B + 5 * K + F:B + 5 * K + F + 6].astype(jnp.int32)
+    prior_lam, t0, dt_knots = smalls[-3], smalls[-2], smalls[-1]
+    return (batch_times, knots, free_mask, fov_times, crop_ints, prior_lam,
+            t0, dt_knots)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_window_solver(pano, order: int, blur_sigma: float, measure: int,
                          o, max_up: int, cam_width: int,
-                         precision: str = "highest"):
+                         precision: str = "highest",
+                         trust_radius: float | None = None,
+                         K: int = 0, F: int = 0, restarts: int = 0):
     """Full-panorama window solver, memoized at module level so every
     Backend instance (and every replay pass in a process) shares one jit
     function — and therefore one compiled-executable cache. The sensor
     bearing LUT is a runtime argument for the same reason."""
 
     @jax.jit
-    def solve(evd, batch_times, knots, free_mask,
-              t0, dt_knots, ig_prime, update_times, fov_times, lut_dev,
-              prior_lam=jnp.float32(0.0)):
-        K = knots.shape[0]
+    def solve(evd, smalls, ig_prime, update_times, lut_dev):
+        (batch_times, knots, free_mask, fov_times, _ints, prior_lam,
+         t0, dt_knots) = _unpack_smalls(smalls, K, F)
         win0 = _unpack_window(evd, batch_times, knots, free_mask, t0,
                               dt_knots, ig_prime, lut_dev, cam_width)
         # First evaluation of the window computes alpha from the initial
@@ -139,9 +158,33 @@ def _build_window_solver(pano, order: int, blur_sigma: float, measure: int,
             fun_tol=o.fun_tol,
             max_fevals_per_linesearch=o.max_fevals_per_linesearch,
             stagnation_patience=o.stagnation_patience,
+            secant_refine_evals=o.secant_refine_evals,
             cg_variant=o.cg_variant,
             ladder=o.ladder,
+            trust_radius=trust_radius,
         )
+        # Bounded re-seeded restarts (config.ba_solve_restarts): GSL's
+        # stagnation test is routinely premature in the cubic spline's
+        # curved valleys; a fresh full-scale bracket from the optimum
+        # keeps moving, and costs ~1 line search when truly converged.
+        for _ in range(restarts):
+            res2 = optim.minimize_fr_cg(
+                vg, res.x, f_fn=f,
+                max_line_searches=o.max_line_searches,
+                initial_step=o.initial_step,
+                line_search_tol=o.line_search_tol,
+                grad_tol=o.grad_tol,
+                fun_tol=o.fun_tol,
+                max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+                stagnation_patience=o.stagnation_patience,
+                secant_refine_evals=o.secant_refine_evals,
+                cg_variant=o.cg_variant,
+                ladder=o.ladder,
+                trust_radius=trust_radius,
+            )
+            res = optim.CGResult(x=res2.x, fun=res2.fun,
+                                 iters=res.iters + res2.iters,
+                                 status=res2.status, f0=res.f0)
         drotv = res.x.reshape(K, 3)
         knots_new = spline.apply_masked_increments(knots, drotv, free_mask)
         # IL at the optimum feeds the global-map update (updateIG uses the
@@ -168,16 +211,19 @@ def _build_window_solver(pano, order: int, blur_sigma: float, measure: int,
 @functools.lru_cache(maxsize=None)
 def _build_crop_solver(pano, order: int, blur_sigma: float, measure: int,
                        o, max_up: int, Hc: int, Wc: int, cam_width: int,
-                       precision: str = "highest"):
+                       precision: str = "highest",
+                       trust_radius: float | None = None,
+                       K: int = 0, F: int = 0, restarts: int = 0):
     """FOV-crop window solver (module-memoized like _build_window_solver):
-    identical protocol but every objective evaluation runs at crop scale."""
+    identical protocol but every objective evaluation runs at crop scale.
+    Shares the fused small-argument layout with the full-pano solver, so a
+    crop-escape re-solve reuses the SAME uploaded arrays."""
     H, W = pano.height, pano.width
 
     @jax.jit
-    def solve(evd, batch_times, knots, free_mask,
-              t0, dt_knots, ig_prime, update_times, fov_times, crop_ints,
-              lut_dev, prior_lam=jnp.float32(0.0)):
-        K = knots.shape[0]
+    def solve(evd, smalls, ig_prime, update_times, lut_dev):
+        (batch_times, knots, free_mask, fov_times, crop_ints, prior_lam,
+         t0, dt_knots) = _unpack_smalls(smalls, K, F)
         win0 = _unpack_window(evd, batch_times, knots, free_mask, t0,
                               dt_knots, ig_prime, lut_dev, cam_width)
         win, x0f, y0f, a_crop, mask, out_s1, out_s2 = (
@@ -200,9 +246,33 @@ def _build_crop_solver(pano, order: int, blur_sigma: float, measure: int,
             fun_tol=o.fun_tol,
             max_fevals_per_linesearch=o.max_fevals_per_linesearch,
             stagnation_patience=o.stagnation_patience,
+            secant_refine_evals=o.secant_refine_evals,
             cg_variant=o.cg_variant,
             ladder=o.ladder,
+            trust_radius=trust_radius,
         )
+        # Bounded re-seeded restarts (config.ba_solve_restarts): GSL's
+        # stagnation test is routinely premature in the cubic spline's
+        # curved valleys; a fresh full-scale bracket from the optimum
+        # keeps moving, and costs ~1 line search when truly converged.
+        for _ in range(restarts):
+            res2 = optim.minimize_fr_cg(
+                vg, res.x, f_fn=f,
+                max_line_searches=o.max_line_searches,
+                initial_step=o.initial_step,
+                line_search_tol=o.line_search_tol,
+                grad_tol=o.grad_tol,
+                fun_tol=o.fun_tol,
+                max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+                stagnation_patience=o.stagnation_patience,
+                secant_refine_evals=o.secant_refine_evals,
+                cg_variant=o.cg_variant,
+                ladder=o.ladder,
+                trust_radius=trust_radius,
+            )
+            res = optim.CGResult(x=res2.x, fun=res2.fun,
+                                 iters=res.iters + res2.iters,
+                                 status=res2.status, f0=res.f0)
         drotv = res.x.reshape(K, 3)
         knots_new = spline.apply_masked_increments(knots, drotv, free_mask)
         # Old/new split at the optimum, on the crop, scattered back into
@@ -252,6 +322,10 @@ class WindowResult:
     initial_cost: float
     final_cost: float
     iters: int
+    # True when the BA correction was rejected by the
+    # max_ba_correction_rad trust region (degenerate window; the
+    # FE-integrated knots were kept and the map was not updated).
+    rejected: bool = False
 
 
 class Backend:
@@ -335,8 +409,16 @@ class Backend:
         # still needs (deleteOldEvents' min(), ang_vel_estimator.cpp:149-152).
         self.retain_from_fn = None
 
+        # Bounded re-seeded BA restarts (None = auto: cubic only).
+        self._ba_restarts = (
+            cfg.ba_solve_restarts if cfg.ba_solve_restarts is not None
+            else (1 if self.order == 4 else 0)
+        )
         # static window-knot count: round(win/dt) + degree
         self.K_win = int(round(self.win_size / cfg.trajectory.dt_knots)) + self.degree
+        # static FOV-grid length (setUpdateTimesIG's dt_check count); part
+        # of the fused small-argument layout (_unpack_smalls)
+        self._fov_count = max(1, int(math.ceil(self.win_stride / 0.05 - 1e-9)))
         self._crop_shapes: set = set()  # (Hc, Wc) of compiled crop solvers
         # Quadratic prior weight toward the incoming knots (runtime scalar
         # in the solver programs): 0 online; refine_pass raises it to
@@ -542,7 +624,8 @@ class Backend:
             return None
         return self._finish_window(meta, 0.0, 0.0, 0)
 
-    def _finish_window(self, meta, initial_cost, final_cost, iters):
+    def _finish_window(self, meta, initial_cost, final_cost, iters,
+                       rejected: bool = False):
         """Pose-latest update + result bookkeeping for a completed window
         (pose_graph_optimizer.cpp:316-323)."""
         t_eval = meta["t_eval"]
@@ -560,6 +643,7 @@ class Backend:
             initial_cost=initial_cost,
             final_cost=final_cost,
             iters=iters,
+            rejected=rejected,
         )
         self.results.append(res)
         logger.info(
@@ -609,8 +693,8 @@ class Backend:
             return None
         self._pending_win = None
         with self.metrics.timer("backend.fetch"):
-            initial, final, iters = self._finish_solve(p)
-        return self._finish_window(p, initial, final, iters)
+            initial, final, iters, rejected = self._finish_solve(p)
+        return self._finish_window(p, initial, final, iters, rejected)
 
     def flush(self) -> Optional[WindowResult]:
         """Join the asynchronous back-end: complete any in-flight window.
@@ -718,14 +802,18 @@ class Backend:
                             idx_beg, num_fixed,
                         )
                         p.update(meta)
-                        initial, final, iters = self._finish_solve(p)
+                        initial, final, iters, rejected = (
+                            self._finish_solve(p)
+                        )
                 else:
                     initial = final = 0.0
                     iters = 0
+                    rejected = False
                 results.append(WindowResult(
                     index=meta["index"], t_beg=meta["t_beg"],
                     t_end=meta["t_end"], num_events=n_raw, ran_ba=ran_ba,
                     initial_cost=initial, final_cost=final, iters=iters,
+                    rejected=rejected,
                 ))
                 logger.info(
                     "[back-end] refine window %d [%.3f, %.3f) n=%d ba=%s "
@@ -821,7 +909,6 @@ class Backend:
 
         return {
             "evd": jnp.asarray(evd),
-            "batch_times": jnp.asarray(batch_rel),
             "size": size,
             # numpy views for host-side planning (crop bbox) — no dispatch
             "np_xs": xs_p,
@@ -838,7 +925,8 @@ class Backend:
             self.pano, self.order, self.cfg.warp.blur_sigma,
             self.cfg.contrast_measure, self.cfg.optim,
             self.cfg.pano_map.max_update_times, self.cam_width,
-            self.cfg.warp.precision,
+            self.cfg.warp.precision, self.cfg.max_ba_correction_rad,
+            K, self._fov_count, self._ba_restarts,
         )
 
     # Crop-dimension ladder: coarse buckets bound the number of compiled
@@ -976,7 +1064,8 @@ class Backend:
             self.pano, self.order, self.cfg.warp.blur_sigma,
             self.cfg.contrast_measure, self.cfg.optim,
             self.cfg.pano_map.max_update_times, Hc, Wc, self.cam_width,
-            self.cfg.warp.precision,
+            self.cfg.warp.precision, self.cfg.max_ba_correction_rad,
+            K, self._fov_count, self._ba_restarts,
         )
 
     def _dispatch_window_solve(self, xs, ys, ts, idx_cp_traj_beg, num_fixed):
@@ -1006,28 +1095,33 @@ class Backend:
 
         t_knot0 = self.traj.knot_time(idx_cp_traj_beg)
         fov_rel = self._fov_times_rel(t_knot0, n_real)
-        args = (
-            arrays["evd"], arrays["batch_times"],
-            jnp.asarray(sub.astype(np.float32)),
-            jnp.asarray(free), jnp.float32(0.0),
-            jnp.float32(self.cfg.trajectory.dt_knots),
-            self.IG, self.update_times, jnp.asarray(fov_rel),
-        )
-        lam = jnp.float32(self._prior_lam)
         plan = self._plan_crop(arrays, sub) if self.cfg.crop_solver else None
+        ints = plan[2] if plan is not None else np.zeros(6, np.int32)
+        # ONE fused upload for every small argument (see _unpack_smalls):
+        # per-window dispatch cost on a remote-device tunnel is set by RPC
+        # count — this plus the evd upload makes exactly two.
+        smalls = np.concatenate([
+            arrays["np_batch_rel"],
+            sub.astype(np.float32).reshape(-1),
+            free,
+            fov_rel,
+            ints.astype(np.float32),
+            np.array([self._prior_lam, 0.0, self.cfg.trajectory.dt_knots],
+                     np.float32),
+        ]).astype(np.float32)
+        args = (arrays["evd"], jnp.asarray(smalls), self.IG,
+                self.update_times)
         if plan is not None:
-            Hc, Wc, ints, h = plan
+            Hc, Wc, _, h = plan
             crop_solve = self._get_crop_solver(size, K, Hc, Wc)
-            packed, ig_new, upd_new = crop_solve(
-                *args, jnp.asarray(ints), self.lut_dev, lam
-            )
+            packed, ig_new, upd_new = crop_solve(*args, self.lut_dev)
         else:
             solve = self._get_solver(size, K)
-            packed, ig_new, upd_new = solve(*args, self.lut_dev, lam)
+            packed, ig_new, upd_new = solve(*args, self.lut_dev)
         return dict(
             packed=packed, ig_new=ig_new, upd_new=upd_new, plan=plan,
             args=args, size=size, K=K, n_real=n_real,
-            idx_cp_traj_beg=idx_cp_traj_beg,
+            idx_cp_traj_beg=idx_cp_traj_beg, np_knots_sub=sub,
         )
 
     def _finish_solve(self, p, packed=None) -> Tuple[float, float, int]:
@@ -1054,15 +1148,34 @@ class Backend:
                 self.metrics.count("backend.crop_escapes", 1)
                 solve = self._get_solver(p["size"], K)
                 with self._on_device():
-                    packed, ig_new, upd_new = solve(
-                        *p["args"], self.lut_dev,
-                        jnp.float32(self._prior_lam),
-                    )
+                    packed, ig_new, upd_new = solve(*p["args"], self.lut_dev)
                 packed = np.asarray(packed)
                 knots_new, stats = (packed[: 4 * K].reshape(K, 4),
                                     packed[4 * K:])
             else:
                 self.metrics.count("backend.crop_windows", 1)
+
+        cap = self.cfg.max_ba_correction_rad
+        if cap is not None:
+            # Degenerate-landscape guard (pairs with the in-solve trust
+            # stop, ops/optim._within_trust): a correction that moved any
+            # knot past the cap is a wandering solve on a weakly-textured
+            # window, not a refinement — keep the FE-integrated knots and
+            # do NOT absorb this window's (misaligned) votes into the map.
+            q0 = p["np_knots_sub"][: p["n_real"]].astype(np.float64)
+            q1 = knots_new.astype(np.float64)[: p["n_real"]]
+            dots = np.abs(np.sum(q0 * q1, axis=1))
+            max_ang = 2.0 * np.arccos(np.clip(dots, -1.0, 1.0)).max()
+            if max_ang > cap:
+                logger.warning(
+                    "[back-end] window %d: BA correction %.2f deg exceeds "
+                    "max_ba_correction_rad (%.2f deg) — rejected "
+                    "(weakly-constrained window; keeping front-end "
+                    "trajectory)", p.get("index", -1),
+                    math.degrees(max_ang), math.degrees(cap),
+                )
+                self.metrics.count("backend.ba_rejected", 1)
+                return float(stats[0]), float(stats[1]), int(stats[2]), True
 
         idx = p["idx_cp_traj_beg"]
         self.traj.knots[idx : idx + p["n_real"]] = (
@@ -1070,7 +1183,7 @@ class Backend:
         )
         self.IG = ig_new
         self.update_times = upd_new
-        return float(stats[0]), float(stats[1]), int(stats[2])
+        return float(stats[0]), float(stats[1]), int(stats[2]), False
 
     def _fov_times_rel(self, t_knot0: float, n_real: int,
                        dt_check: float = 0.05) -> np.ndarray:

@@ -82,6 +82,7 @@ def _build_packet_solver(cam, batch_size: int, blur_sigma: float,
                 fun_tol=o.fun_tol,
                 max_fevals_per_linesearch=o.max_fevals_per_linesearch,
                 stagnation_patience=o.stagnation_patience,
+                secant_refine_evals=o.secant_refine_evals,
                 ladder=o.ladder,
                 cg_variant=o.cg_variant,
             )
@@ -143,6 +144,7 @@ def _build_stride_solver(cam, batch_size: int, blur_sigma: float,
             fun_tol=o.fun_tol,
             max_fevals_per_linesearch=o.max_fevals_per_linesearch,
             stagnation_patience=o.stagnation_patience,
+            secant_refine_evals=o.secant_refine_evals,
             ladder=o.ladder,
             cg_variant=o.cg_variant,
         )

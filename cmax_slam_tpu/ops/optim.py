@@ -30,6 +30,19 @@ CONVERGED_FTOL = 1
 CONVERGED_GTOL = 2
 NO_PROGRESS = 3
 MAX_ITERS = 4
+TRUST_STOP = 5
+
+
+def _within_trust(x: jnp.ndarray, trust_radius, block: int) -> jnp.ndarray:
+    """True while every ``block``-sized sub-vector of x has norm below
+    ``trust_radius``. Degenerate-landscape guard for the bundle adjustment:
+    on weakly-textured windows the equirect contrast objective admits long
+    spurious-descent paths (pole-ward drift concentrates votes), so a solve
+    that has already moved a knot this far is diverging, not converging —
+    stop it and let the caller reject the correction (no reference
+    counterpart; SURVEY.md section 5 failure-detection row)."""
+    r = x.reshape(-1, block)
+    return jnp.max(jnp.sum(r * r, axis=1)) < trust_radius * trust_radius
 
 
 class CGResult(NamedTuple):
@@ -48,7 +61,8 @@ class _LSState(NamedTuple):
     done: jnp.ndarray
 
 
-def _line_search(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals):
+def _line_search(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals,
+                 refine_evals: int = 4):
     """Minimize phi(a) = f(x + a*u) approximately. Returns (alpha, f, g, ok).
 
     Phase 1 brackets an improving step with function-only evals (cheap
@@ -108,7 +122,7 @@ def _line_search(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals):
     # --- Phase 2: secant refinement on the directional derivative.
     # Carry: (a_cur, a_prev, dphi_prev, f_best, a_best, g_best, k, done)
     def refine_cond(t):
-        return (~t[-1]) & (t[-2] < 4)
+        return (~t[-1]) & (t[-2] < refine_evals)
 
     def refine_body(t):
         a_cur, a_prev, dphi_prev, fb, ab, gb, k, done = t
@@ -143,7 +157,8 @@ def _line_search(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals):
     return a_out, f_out, g_out, bracketed
 
 
-def _line_search_vec(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals):
+def _line_search_vec(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals,
+                     refine_evals: int = 4):
     """Vectorized variant of _line_search: same contract, TPU-native probing.
 
     The sequential bracket is a while_loop of tiny data-dependent steps —
@@ -178,7 +193,7 @@ def _line_search_vec(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals):
     bracketed = f_best < f0
 
     def refine_cond(t):
-        return (~t[-1]) & (t[-2] < 4)
+        return (~t[-1]) & (t[-2] < refine_evals)
 
     def refine_body(t):
         a_cur, a_prev, dphi_prev, fb, ab, gb, k, done = t
@@ -211,7 +226,8 @@ def _line_search_vec(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals):
     return a_out, f_out, g_out, bracketed
 
 
-def _line_search_grid(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals):
+def _line_search_grid(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals,
+                      refine_evals: int = 4):
     """Batched-evaluation, sequential-semantics variant of _line_search.
 
     Every point the sequential bracket can ever probe lies on the geometric
@@ -272,7 +288,7 @@ def _line_search_grid(f_fn, vg_fn, x, f0, g0, u, alpha0, tol, max_evals):
 
     # Secant refinement on the directional derivative (same as _line_search).
     def refine_cond(t):
-        return (~t[-1]) & (t[-2] < 4)
+        return (~t[-1]) & (t[-2] < refine_evals)
 
     def refine_body(t):
         a_cur, a_prev, dphi_prev, fb, ab, gb, k, done = t
@@ -360,6 +376,7 @@ def make_cg_body(
     initial_step: float = 0.1,
     ladder: str = "sequential",
     cg_variant: str = "fr",
+    secant_refine_evals: int = 4,
 ) -> Callable:
     """One conjugate-gradient line-search iteration: CGState -> CGState.
 
@@ -407,6 +424,7 @@ def make_cg_body(
         alpha, f_new, g_new, ok = search(
             f_fn, value_and_grad_fn, s.x, s.f, s.g, u,
             s.alpha0, line_search_tol, max_fevals_per_linesearch,
+            secant_refine_evals,
         )
         x_new = s.x + alpha * u
 
@@ -520,11 +538,20 @@ def minimize_fr_cg(
     stagnation_patience: int = 1,
     ladder: str = "sequential",
     cg_variant: str = "fr",
+    trust_radius: float | None = None,
+    trust_block: int = 3,
+    secant_refine_evals: int = 4,
 ) -> CGResult:
     """Minimize a smooth function with nonlinear CG (FR or PR+).
 
     value_and_grad_fn: x -> (f, g). f_fn: x -> f (cheaper forward-only path
     used during bracketing; defaults to value_and_grad_fn's value).
+
+    ``trust_radius``: optional degenerate-landscape guard — stop as soon as
+    any ``trust_block``-sized sub-vector of x exceeds this norm (see
+    _within_trust; the back-end sets it to
+    BackendConfig.max_ba_correction_rad and rejects the window's
+    correction on the host).
     """
     dim = x0.shape[-1] if x0.ndim else 1
     body = make_cg_body(
@@ -533,12 +560,23 @@ def minimize_fr_cg(
         max_fevals_per_linesearch=max_fevals_per_linesearch,
         stagnation_patience=stagnation_patience, initial_step=initial_step,
         ladder=ladder, cg_variant=cg_variant,
+        secant_refine_evals=secant_refine_evals,
     )
 
     def cond(s: CGState):
-        return (s.status == RUNNING) & (s.it < max_line_searches)
+        ok = (s.status == RUNNING) & (s.it < max_line_searches)
+        if trust_radius is not None:
+            ok = ok & _within_trust(s.x, trust_radius, trust_block)
+        return ok
 
     init = cg_init(value_and_grad_fn, x0, initial_step)
     out = jax.lax.while_loop(cond, body, init)
-    status = jnp.where(out.status == RUNNING, MAX_ITERS, out.status)
+    status = out.status
+    if trust_radius is not None:
+        status = jnp.where(
+            (status == RUNNING)
+            & ~_within_trust(out.x, trust_radius, trust_block),
+            TRUST_STOP, status,
+        )
+    status = jnp.where(status == RUNNING, MAX_ITERS, status)
     return CGResult(x=out.x, fun=out.f, iters=out.it, status=status, f0=out.f0)

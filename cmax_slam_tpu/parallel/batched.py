@@ -148,6 +148,7 @@ def _run_round(bearings, dts, weights, states, cam, blur_sigma, measure, opt,
             initial_step=opt.initial_step,
             cg_variant=opt.cg_variant,
             ladder=opt.ladder,
+            secant_refine_evals=opt.secant_refine_evals,
         )
         return optim.cg_run_rounds(body, s, round_iters,
                                    opt.max_line_searches)

@@ -60,6 +60,7 @@ def batched_packet_solve(
             fun_tol=opt.fun_tol,
             max_fevals_per_linesearch=opt.max_fevals_per_linesearch,
             stagnation_patience=opt.stagnation_patience,
+            secant_refine_evals=opt.secant_refine_evals,
             ladder=opt.ladder,
             cg_variant=opt.cg_variant,
         )
