@@ -10,7 +10,12 @@ import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests"))
-import conftest  # noqa: F401  (cpu + cache env)
+if not int(os.environ.get("PROBE_TPU", "0")):
+    import conftest  # noqa: F401  (cpu + cache env)
+else:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
 
 from cmax_slam_tpu import spline
@@ -32,6 +37,7 @@ STEP = float(os.environ.get("STEP", 0.1))
 CG = os.environ.get("CG", "fr")
 LADDER = os.environ.get("LADDER", "sequential")
 MAXLS = int(os.environ.get("MAXLS", 50))
+RESTARTS = os.environ.get("RESTARTS")  # backend.ba_solve_restarts (None=auto)
 
 rng = np.random.default_rng(11)
 duration = 0.8
@@ -63,6 +69,7 @@ cfg = SystemConfig(
             max_update_times=200,
         ),
         optim=OptimOptions(**opt_kw),
+        ba_solve_restarts=None if RESTARTS is None else int(RESTARTS),
     ),
 )
 slam = CMaxSLAM(calib, cfg)

@@ -33,8 +33,16 @@ rng = np.random.default_rng(11)
 omega_true = np.array([0.9, -1.3, 1.9])
 n = int(RATE * DURATION)
 print(f"generating {n} events over {DURATION}s...", flush=True)
+# 1200 landmarks: at 400 the rotating FOV sweeps through near-empty sky for
+# ~0.5 s stretches (windows drop to 15k events, packets go degenerate ->
+# omega=0) — an UNTRACKABLE blackout no estimator survives, and recovery
+# via the map term is chaotic (run-to-run RMS 0.08 / 13 / 21 deg). Real
+# sequences (shapes_rotation) always keep texture in view; the realtime
+# check measures speed+accuracy on a trackable stream. The blackout edge
+# case is probed separately (examples/tpu_win_iters_probe.py).
 ev = synthetic.rotating_camera_events(
-    rng, n, DURATION, omega_true, FX, FY, W / 2, H / 2, W, H, n_points=400
+    rng, n, DURATION, omega_true, FX, FY, W / 2, H / 2, W, H,
+    n_points=int(os.environ.get("RT_NPOINTS", 1200)),
 )
 calib = CameraCalibration(
     width=W, height=H,

@@ -100,12 +100,11 @@ be = r["backend"]
 if r["plan"] is not None:
     Hc, Wc, ints, h = r["plan"]
     solver = be._get_crop_solver(r["size"], r["K"], Hc, Wc)
-    extra = (jnp.asarray(ints), be.lut_dev)
     print(f"captured window: crop {Hc}x{Wc}, size={r['size']}, K={r['K']}")
 else:
     solver = be._get_solver(r["size"], r["K"])
-    extra = (be.lut_dev,)
     print(f"captured window: FULL pano, size={r['size']}, K={r['K']}")
+extra = (be.lut_dev,)  # crop ints ride the fused smalls vector in args
 
 out = solver(*r["args"], *extra)
 jax.block_until_ready(out)

@@ -38,6 +38,18 @@ if PATIENCE:
 PRECISION = os.environ.get("RT_PRECISION")
 if PRECISION:
     cfg = cfg_replace(cfg, **{"frontend.warp.precision": PRECISION})
+# Generic dotted overrides, e.g.
+# FE_SET="frontend.optim.secant_refine_evals=2,frontend.optim.line_search_tol=0.1"
+for kv in filter(None, os.environ.get("FE_SET", "").split(",")):
+    key, val = kv.split("=", 1)
+    cur = cfg
+    for part in key.split(".")[:-1]:
+        cur = getattr(cur, part)
+    old = getattr(cur, key.split(".")[-1])
+    typed = val if isinstance(old, str) else type(old)(
+        float(val) if isinstance(old, float) else int(val))
+    cfg = cfg_replace(cfg, **{key: typed})
+    print(f"override {key} = {typed!r}")
 
 cam = CameraParams(fx=FX, fy=FY, cx=W / 2, cy=H / 2, width=W, height=H)
 lut = bearing_lut(calib)

@@ -60,8 +60,9 @@ def time_solver(o, label, reps=5):
     solver = backend_mod._build_crop_solver(
         be.pano, be.order, be.cfg.warp.blur_sigma, be.cfg.contrast_measure,
         o, be.cfg.pano_map.max_update_times, Hc, Wc, be.cam_width,
-        be.cfg.warp.precision)
-    args = (*r["args"], jnp.asarray(ints), be.lut_dev)
+        be.cfg.warp.precision, be.cfg.max_ba_correction_rad,
+        r["K"], be._fov_count)
+    args = (*r["args"], be.lut_dev)  # crop ints ride the fused smalls
     out = solver(*args); jax.block_until_ready(out)
     t = 1e9
     for _ in range(reps):
@@ -72,9 +73,25 @@ def time_solver(o, label, reps=5):
     return t
 
 o0 = be.cfg.optim
-for mls in (0, 1, 2, 3, 5, 50):
-    time_solver(dataclasses.replace(o0, max_line_searches=mls),
-                f"max_ls={mls:2d}")
-for mf in (4, 8):
-    time_solver(dataclasses.replace(o0, max_fevals_per_linesearch=mf),
-                f"max_ls=50 max_fev={mf}")
+MODE = os.environ.get("DECOMP_MODE", "ls")
+if MODE == "ls":
+    for mls in (0, 1, 2, 3, 5, 50):
+        time_solver(dataclasses.replace(o0, max_line_searches=mls),
+                    f"max_ls={mls:2d}")
+    for mf in (4, 8):
+        time_solver(dataclasses.replace(o0, max_fevals_per_linesearch=mf),
+                    f"max_ls=50 max_fev={mf}")
+elif MODE == "ladder":
+    # Round-4 realtime hunt: bracket scheduling x secant budget on the
+    # SAME captured window (identical data, warm timings).
+    time_solver(o0, "sequential refine=4 (default)")
+    time_solver(dataclasses.replace(o0, secant_refine_evals=2),
+                "sequential refine=2")
+    time_solver(dataclasses.replace(o0, ladder="grid"),
+                "grid       refine=4")
+    time_solver(dataclasses.replace(o0, ladder="grid",
+                                    secant_refine_evals=2),
+                "grid       refine=2")
+    time_solver(dataclasses.replace(o0, ladder="grid",
+                                    max_fevals_per_linesearch=8),
+                "grid(8)    refine=4")

@@ -54,8 +54,9 @@ be = r["backend"]
 Hc, Wc, ints, h = r["plan"]
 K = r["K"]
 print(f"window: crop {Hc}x{Wc}, size={r['size']}, K={K}", flush=True)
-(evd, batch_times, knots, free_mask, t0a, dtk, ig_prime, update_times,
- fov_times) = r["args"]
+(evd, smalls, ig_prime, update_times) = r["args"]
+(batch_times, knots, free_mask, fov_times, _ci, _lam, t0a, dtk) = (
+    backend_mod._unpack_smalls(jnp.asarray(smalls), K, be._fov_count))
 crop_ints = jnp.asarray(ints)
 lut_dev = be.lut_dev
 pano, order, sigma, measure = be.pano, be.order, be.cfg.warp.blur_sigma, be.cfg.contrast_measure
@@ -138,8 +139,8 @@ def stage_split_two(evd, bt, kn, fm, t0, dk, igp, lut, ci):
 timeit("unpack (LUT gather)      ", stage_unpack, evd, batch_times, knots, free_mask, t0a, dtk, ig_prime, lut_dev)
 timeit("unpack+crop constants    ", stage_constants, evd, batch_times, knots, free_mask, t0a, dtk, ig_prime, lut_dev, crop_ints)
 timeit("constants + 1 vg eval    ", stage_vg, evd, batch_times, knots, free_mask, t0a, dtk, ig_prime, lut_dev, crop_ints)
-timeit("epilogue (split+maps+fov)", stage_epilogue, evd, batch_times, knots, free_mask, t0a, dtk, ig_prime, update_times, jnp.asarray(r["args"][8]), lut_dev, crop_ints)
-timeit("fov mask alone           ", stage_fov, knots, jnp.asarray(r["args"][8]), t0a, dtk, lut_dev)
+timeit("epilogue (split+maps+fov)", stage_epilogue, evd, batch_times, knots, free_mask, t0a, dtk, ig_prime, update_times, fov_times, lut_dev, crop_ints)
+timeit("fov mask alone           ", stage_fov, knots, fov_times, t0a, dtk, lut_dev)
 timeit("warp+split votes alone   ", stage_split_two, evd, batch_times, knots, free_mask, t0a, dtk, ig_prime, lut_dev, crop_ints)
 
 # --- control experiments: is the 25 ms environmental or data-dependent? ------
