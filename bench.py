@@ -59,10 +59,11 @@ def main():
         # Dependent chain: each eval's omega depends on the previous IWE so
         # device executions strictly serialize (honest throughput, no
         # async-queue overlap). Solver-grade path: fused Pallas vote kernel
-        # at full f32 accuracy, Gaussian blur included.
+        # at the library-default precision (bf16 MXU votes with f32
+        # accumulation — config.WarpOptions.precision), blur included.
         omega = omega0 + carry * 1e-12 + i * 1e-6
         p = warp_local.EventPacket(*packet)
-        iwe = warp_local.local_iwe(omega, p, cam, 1.0, precision="highest")
+        iwe = warp_local.local_iwe(omega, p, cam, 1.0, precision="default")
         return jnp.mean(iwe), None
 
     @functools.partial(jax.jit, static_argnums=0)
