@@ -424,6 +424,11 @@ class Backend:
         # in the solver programs): 0 online; refine_pass raises it to
         # cfg.refine_prior_lambda for the duration of the sweep.
         self._prior_lam = 0.0
+        # One-time online bootstrap re-solve (config.bootstrap_resolve_window):
+        # while pending, _get_event_subset retires no prefix so the tracked
+        # span stays available; step() fires the re-solve at the target index.
+        self._bootstrap_pending = cfg.bootstrap_resolve_window
+        self.bootstrap_results: List[WindowResult] = []
 
     def _on_device(self):
         """Context manager pinning jax dispatches to this back-end's device
@@ -497,6 +502,9 @@ class Backend:
             return []
         self._fused_fetch()
         done = self._complete_pending()
+        if (self._bootstrap_pending is not None
+                and self.count_window >= self._bootstrap_pending):
+            self._run_bootstrap_resolve()
         ev = self._get_event_subset(self.t_win_beg, self.t_win_end)
         av = self._get_ang_vel_subset(self.t_av_beg, self.t_av_end)
         res = self._process_time_window(ev, av)
@@ -520,6 +528,10 @@ class Backend:
         b = self.store.searchsorted_time(t_end - 1e-6, side="right")
         xs, ys, ts, ps = self.store.slice_abs(a, b)
         out = (xs.copy(), ys.copy(), ts.copy(), ps.copy())
+        if self._bootstrap_pending is not None:
+            # Retain the full tracked span for the one-time bootstrap
+            # re-solve (bounded: bootstrap_resolve_window strides of events).
+            return out
         drop_to = a
         if self.retain_from_fn is not None:
             drop_to = min(drop_to, self.retain_from_fn())
@@ -709,9 +721,45 @@ class Backend:
         return self.flush()
 
     # ------------------------------------------------------------------
+    def _run_bootstrap_resolve(self) -> None:
+        """One-time online bootstrap re-solve (config.bootstrap_resolve_window).
+
+        Fires once the window counter reaches the configured index: re-runs
+        the sliding-window BA over every COMPLETED window (events retained
+        in the shared store since t0) against the global map accumulated so
+        far, then retires the held prefix and resumes streaming. Causal —
+        uses only events already consumed — so the trajectory stays a valid
+        online estimate; it undoes the cold-start error the first windows
+        bake into the early knots while the map is still nearly empty."""
+        self._bootstrap_pending = None
+        t0 = self.traj.t_beg
+        t_stop = self.t_win_end - self.win_stride  # last completed window end
+        a = self.store.searchsorted_time(t0, side="left")
+        b = self.store.searchsorted_time(t_stop - 1e-6, side="right")
+        xs, ys, ts, _ = self.store.slice_abs(a, b)
+        self.bootstrap_results = self.refine_pass(
+            (xs.copy(), ys.copy(), ts.copy()), t_stop=t_stop
+        )
+        # The early trajectory_log entries predate the re-solve.
+        self.trajectory_log = [
+            (t, self.traj.evaluate(t)[0]) if t <= t_stop else (t, q)
+            for (t, q) in self.trajectory_log
+        ]
+        # Retire the prefix normal streaming would have dropped by now.
+        drop_to = self.store.searchsorted_time(self.t_win_beg, side="left")
+        if self.retain_from_fn is not None:
+            drop_to = min(drop_to, self.retain_from_fn())
+        self.store.drop_before(drop_to)
+        logger.info(
+            "[back-end] bootstrap re-solve: %d windows over [%.3f, %.3f)",
+            len(self.bootstrap_results), t0, t_stop,
+        )
+
+    # ------------------------------------------------------------------
     # Offline refinement sweep (beyond the reference)
     # ------------------------------------------------------------------
-    def refine_pass(self, source) -> List[WindowResult]:
+    def refine_pass(self, source, t_stop: Optional[float] = None
+                    ) -> List[WindowResult]:
         """One additional sliding-window BA sweep over an already-tracked
         stream, starting from the online trajectory and the online global
         map.
@@ -732,6 +780,10 @@ class Backend:
         online pass consumed (the CLI re-opens its reader; tests pass the
         arrays). Returns the refined per-window results; the online
         ``results``/``trajectory_log`` are left untouched.
+
+        ``t_stop``: only re-solve windows that END at or before this time —
+        the online bootstrap re-solve uses it to leave the stream head
+        (whose windows are still collecting events) untouched.
         """
         if self.traj is None or self.traj.size < self.order:
             raise ValueError("refine_pass needs a tracked trajectory; "
@@ -760,7 +812,9 @@ class Backend:
         try:
             self.count_window = 0
             self.t_win_beg, self.t_win_end = t0, t0 + self.win_size
-            while self.t_win_beg < t_traj_end - 1e-9:
+            while self.t_win_beg < t_traj_end - 1e-9 and (
+                t_stop is None or self.t_win_end <= t_stop + 1e-9
+            ):
                 # Grow the rolling buffer until it covers this window.
                 while not drained and (
                     len(bufs[2]) == 0 or bufs[2][-1] < self.t_win_end

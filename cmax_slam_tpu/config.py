@@ -232,6 +232,17 @@ class BackendConfig:
     # lam=100), so it defaults off; kept as a robustness knob for weakly
     # textured recordings.
     refine_prior_lambda: float = 0.0
+    # One-time ONLINE bootstrap re-solve (beyond the reference, causal):
+    # when the back-end reaches this window index, re-run the sliding-
+    # window BA once over the already-tracked span against the global map
+    # accumulated so far (Backend.refine_pass with t_stop), then resume
+    # streaming. The first windows optimize against a nearly-empty IG and
+    # bake their error into the early knots (the reference never revisits
+    # them, pose_graph_optimizer.cpp:283-288); by window ~4 the map is rich
+    # enough to anchor them. Uses only past events (retained in the shared
+    # store until the re-solve runs), so the output remains a valid online
+    # trajectory; costs `index` extra window solves, once. None = off.
+    bootstrap_resolve_window: int | None = None
 
 
 @dataclass(frozen=True)

@@ -38,6 +38,10 @@ CG = os.environ.get("CG", "fr")
 LADDER = os.environ.get("LADDER", "sequential")
 MAXLS = int(os.environ.get("MAXLS", 50))
 RESTARTS = os.environ.get("RESTARTS")  # backend.ba_solve_restarts (None=auto)
+PREC = os.environ.get("PREC", None)  # WarpOptions.precision (None=library default)
+PANO_H = int(os.environ.get("PANO_H", 256))  # 256x512 = CPU-suite size;
+# 512x1024 matches the reference's smallest real config (launch/ijrr.launch)
+BOOTSTRAP = os.environ.get("BOOTSTRAP")  # bootstrap_resolve_window (None=off)
 
 rng = np.random.default_rng(11)
 duration = 0.8
@@ -62,14 +66,16 @@ cfg = SystemConfig(
     ),
     backend=BackendConfig(
         sliding_window=SlidingWindowOptions(0.2, 0.1),
-        warp=WarpOptions(blur_sigma=1.0, event_batch_size=100),
+        warp=WarpOptions(blur_sigma=1.0, event_batch_size=100,
+                         **({"precision": PREC} if PREC else {})),
         trajectory=TrajectoryOptions(dt_knots=0.05, spline_degree=3),
         pano_map=PanoMapOptions(
-            pano_height=256, pano_width=512, backend_min_ev_rate=10000,
-            max_update_times=200,
+            pano_height=PANO_H, pano_width=2 * PANO_H,
+            backend_min_ev_rate=10000, max_update_times=200,
         ),
         optim=OptimOptions(**opt_kw),
         ba_solve_restarts=None if RESTARTS is None else int(RESTARTS),
+        bootstrap_resolve_window=None if BOOTSTRAP is None else int(BOOTSTRAP),
     ),
 )
 slam = CMaxSLAM(calib, cfg)
@@ -101,5 +107,7 @@ if q_gt[0] is None:
 rms, errs = rotation_rms_deg(times, q_gt, q_est, alignment="global")
 print("errs:", np.round(errs, 3).tolist())
 print(f"CONFIG bracket={BRACKET} ls_tol={LS_TOL} patience={PATIENCE} "
-      f"step={STEP} cg={CG} ladder={LADDER} maxls={MAXLS}")
+      f"step={STEP} cg={CG} ladder={LADDER} maxls={MAXLS} "
+      f"restarts={RESTARTS} prec={PREC} pano={PANO_H}x{2*PANO_H} "
+      f"bootstrap={BOOTSTRAP}")
 print(f"RMS {rms:.4f} deg  max {errs.max():.3f}")
