@@ -49,10 +49,11 @@ calib = CameraCalibration(
     K=np.array([[FX, 0, W / 2], [0, FY, H / 2], [0, 0, 1.0]]),
 )
 cfg = ijrr_config()
-# Throughput setting: single-pass bf16 MXU votes (WarpOptions.precision).
-# Measured RMS vs ground truth is unchanged (0.083 deg vs 0.076 at f32-exact
-# on this stream; target <= 0.1 deg) — the IWE is a statistical accumulation
-# and CMax tolerances dominate. "highest" remains the library default.
+# Vote precision (WarpOptions.precision; "default" = single-pass bf16 MXU
+# votes IS the library default since the bf16 switch). Measured RMS vs
+# ground truth is unchanged (0.083 deg vs 0.076 at f32-exact on this
+# stream; target <= 0.1 deg) — the IWE is a statistical accumulation and
+# CMax tolerances dominate. Set RT_PRECISION=highest for f32-exact runs.
 PRECISION = os.environ.get("RT_PRECISION", "default")
 cfg = cfg_replace(cfg, **{"frontend.warp.precision": PRECISION,
                           "backend.warp.precision": PRECISION})

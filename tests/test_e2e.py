@@ -79,6 +79,11 @@ def slam_run():
                 pano_height=256, pano_width=512, backend_min_ev_rate=10000,
                 max_update_times=200,
             ),
+            # One-time causal re-solve of the early windows once the map
+            # has matured (config.bootstrap_resolve_window) — removes the
+            # online cold-start transient; see test_e2e_cubic.py where it
+            # measured 0.372 -> 0.093 deg.
+            bootstrap_resolve_window=4,
         ),
     )
     slam = CMaxSLAM(calib, cfg)
@@ -138,10 +143,11 @@ def test_backend_trajectory_rms(slam_run):
 
     q_gt = np.asarray(lie.from_matrix(rot_fn(times)))
     rms, errs = rotation_rms_deg(times, q_gt, q_est, "global")
-    # Round-3 gate (was 0.25): measured 0.096 deg at this config — a 0.15
-    # gate makes a 0.2-deg regression fail CI while leaving noise margin
-    # (BASELINE.md north star: <= 0.1 deg vs the reference).
-    assert rms < 0.15, f"trajectory RMS {rms} deg; errs={np.round(errs,2)}"
+    # Round-4 gate (was 0.15): with the online bootstrap re-solve the gate
+    # sits AT BASELINE.md's 0.1-deg north star — any regression that pushes
+    # the online linear path off the star fails CI (round-3 measured 0.096
+    # without the re-solve; the re-solve adds margin, not slack).
+    assert rms < 0.10, f"trajectory RMS {rms} deg; errs={np.round(errs,2)}"
 
 
 def test_global_map_accumulates(slam_run):
@@ -165,7 +171,7 @@ def test_refine_reaches_north_star(slam_run):
     """KEEP LAST in this module: refine mutates the module fixture's
     backend state (knots + map). One offline sweep over the same stream
     pushes the linear path under BASELINE.md's 0.1-deg north star
-    (online gate above: 0.15)."""
+    (online gate above: 0.10)."""
     slam, rot_fn, omega_fn, ev = slam_run
     slam.refine((ev.xs, ev.ys, ev.ts, ev.pols))
     from cmax_slam_tpu import lie

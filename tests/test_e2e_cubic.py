@@ -80,6 +80,11 @@ def _run_cubic(bracket: int = 16, refine_passes: int = 0):
             ),
             optim=OptimOptions(grad_tol=1e-4, line_search_tol=0.1,
                                max_fevals_per_linesearch=bracket),
+            # One-time causal re-solve of the early windows once the map
+            # has matured (config.bootstrap_resolve_window): measured
+            # 0.488 -> 0.099 deg on this stream (TPU probe) — the online
+            # cold-start transient, not solver slack, dominated the RMS.
+            bootstrap_resolve_window=4,
         ),
     )
     slam = CMaxSLAM(calib, cfg)
@@ -135,10 +140,12 @@ def _run_cubic(bracket: int = 16, refine_passes: int = 0):
 
 def test_cubic_backend_rms():
     rms, errs = _run_cubic()
-    # Round-3 gate (was 0.8): freeing all but one first-window knot stopped
-    # the cubic start transient from locking in integrator error
-    # (config.first_window_frozen_knots; measured 0.584 -> 0.372 deg).
-    assert rms < 0.45, f"cubic trajectory RMS {rms} deg; errs={np.round(errs,2)}"
+    # Round-4 gate (was 0.45): the online bootstrap re-solve
+    # (config.bootstrap_resolve_window=4) undoes the map-bootstrap transient
+    # the first windows bake into the early knots — measured 0.372 -> 0.093
+    # deg on this stream (CPU), under BASELINE.md's 0.1-deg north star
+    # ONLINE (no offline refine). Gate 0.15 leaves noise margin.
+    assert rms < 0.15, f"cubic trajectory RMS {rms} deg; errs={np.round(errs,2)}"
 
 
 def test_cubic_refine_pass_rms():
@@ -156,7 +163,7 @@ def test_cubic_bracket_budget_robust():
     first-window freeze fix removed the cliff in the 12..20 band — 12, 16,
     20 now measure identical RMS)."""
     rms, errs = _run_cubic(bracket=12)
-    assert rms < 0.45, f"bracket=12 RMS {rms} deg; errs={np.round(errs,2)}"
+    assert rms < 0.2, f"bracket=12 RMS {rms} deg; errs={np.round(errs,2)}"
 
 
 def _q(R):
