@@ -593,6 +593,11 @@ class OracleBackend:
     # (`degree`); the production library's de-cliffed default is 1
     # (config.first_window_frozen_knots).
     first_window_frozen_knots: Optional[int] = None
+    # One-time causal re-solve of all completed windows at this window
+    # index (production: config.bootstrap_resolve_window) — the scalar
+    # mirror of Backend._run_bootstrap_resolve so parity can gate the
+    # feature on both sides. None = off (reference semantics).
+    bootstrap_resolve_window: Optional[int] = None
 
     trajectory_log: List[Tuple[float, np.ndarray]] = field(default_factory=list)
 
@@ -639,7 +644,29 @@ class OracleBackend:
         min_events = int(self.time_window_size * self.min_ev_rate)
         K_win = int(round(self.time_window_size / self.dt_knots)) + self.degree
 
+        boot_pending = self.bootstrap_resolve_window
         while av_times[-1] > t_win_end and ts[-1] >= t_win_end:
+            # --- one-time bootstrap re-solve of every completed window
+            # against the map accumulated so far (production:
+            # Backend._run_bootstrap_resolve; fires at the same point in
+            # the stream — before this window's processing).
+            if boot_pending is not None and count_window >= boot_pending:
+                boot_pending = None
+                for wdx in range(count_window):
+                    tb = t0 + wdx * self.sliding_window_stride
+                    te = tb + self.time_window_size
+                    wa = int(np.searchsorted(ts, tb, side="left"))
+                    wb = int(np.searchsorted(ts, te - 1e-6, side="right"))
+                    if wb - wa > min_events and self.traj.size > wdx * cp_stride:
+                        self._solve_window(
+                            xs[wa:wb], ys[wa:wb], ts[wa:wb],
+                            wdx * cp_stride, 0, K_win,
+                            tb + self.sliding_window_stride, tb,
+                        )
+                self.trajectory_log = [
+                    (t, self.traj.evaluate(t)) for (t, _) in self.trajectory_log
+                ]
+
             # --- ang-vel subset (t_av_beg, t_av_end), consumed
             lo = int(np.searchsorted(av_times, t_av_beg, side="right"))
             hi = int(np.searchsorted(av_times, t_av_end, side="left"))
