@@ -54,19 +54,25 @@ if _LADDER:
     cfg = _cfg_replace(cfg, **{"backend.optim.ladder": _LADDER})
 if _PREC:
     cfg = _cfg_replace(cfg, **{"backend.warp.precision": _PREC})
-print(f"ba_ladder={_LADDER or 'sequential'} precision={_PREC or 'highest'}")
-slam = CMaxSLAM(calib, cfg)
-t0 = time.perf_counter()
-for i in range(0, n, 50000):
-    slam.push_events(ev.xs[i:i+50000], ev.ys[i:i+50000],
-                     ev.ts[i:i+50000], ev.pols[i:i+50000])
-wall = time.perf_counter() - t0
-res = slam.window_results()
-bs = slam.metrics.timers.get("backend.solve")
-print(f"windows={len(res)} ba={[r.ran_ba for r in res]} wall={wall:.1f}s")
-if bs:
-    print(f"backend solves: {bs.count} mean {bs.mean:.1f}s (min {bs.minimum:.2f}s)")
-slam.flush()
+print(f"ba_ladder={_LADDER or 'sequential'} "
+      f"precision={_PREC or cfg.backend.warp.precision}")
+PASSES = int(os.environ.get("ECROT_PASSES", 1))
+for p in range(max(1, PASSES)):
+    slam = CMaxSLAM(calib, cfg)
+    t0 = time.perf_counter()
+    for i in range(0, n, 50000):
+        slam.push_events(ev.xs[i:i+50000], ev.ys[i:i+50000],
+                         ev.ts[i:i+50000], ev.pols[i:i+50000])
+    slam.flush()  # join the in-flight window so wall is end-to-end
+    wall = time.perf_counter() - t0
+    res = slam.window_results()
+    bs = slam.metrics.timers.get("backend.solve")
+    tag = "warm" if p else "cold"
+    print(f"[{tag}] windows={len(res)} ba={[r.ran_ba for r in res]} "
+          f"wall={wall:.1f}s rt_factor={duration / wall:.3f}")
+    if bs:
+        print(f"[{tag}] backend dispatches: {bs.count} mean {bs.mean:.2f}s "
+              f"(min {bs.minimum:.2f}s)")
 traj = slam.backend.traj
 t_grid = np.linspace(traj.t_beg + 1e-6, traj.max_time() - 1e-6, 30)
 q_est = traj.evaluate(t_grid)

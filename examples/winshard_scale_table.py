@@ -108,10 +108,23 @@ for n_dev in (1, 2, 4, 8):
           flush=True)
 
 base = rows[0][3]
-print("\n| devices | per-device FLOPs/eval | vs 1 dev | objective rel err |")
-print("|---|---|---|---|")
+# Decompose flops(n) = sharded/n + floor from the n=1 and n=8 points: the
+# floor is the REPLICATED blur+contrast over the full panorama (every
+# device runs it on the psum'd image); the 1/n part is the event
+# warp+vote work — the dominant wall-time cost of a big window on real
+# hardware, where the vote accumulation (not the fused blur epilogue)
+# sets the 2048x4096 window time.
+f1, f8 = rows[0][3], rows[-1][3]
+n8 = rows[-1][0]
+sharded = (f1 - f8) * n8 / (n8 - 1)
+floor = f1 - sharded
+print("\n| devices | per-device FLOPs/eval | sharded warp+vote FLOPs "
+      "| vs 1 dev | objective rel err |")
+print("|---|---|---|---|---|")
 for n_dev, val, rel, flops, wall in rows:
-    print(f"| {n_dev} | {flops:.3e} | {flops / base:.3f}x | {rel:.1e} |")
-print("\n(1/n_dev scaling of the event warp+vote work; the residual "
-      "floor is the replicated blur+contrast on the full panorama, "
-      "which the psum output shares across devices.)")
+    sh = flops - floor
+    print(f"| {n_dev} | {flops:.3e} | {sh:.3e} | {sh / sharded:.3f}x "
+          f"| {rel:.1e} |")
+print(f"\nfit: flops(n) = {sharded:.3e}/n + {floor:.3e} "
+      f"(floor = replicated blur+contrast on the {PH}x{PW} panorama; "
+      "the psum moves one 32 MiB image per evaluation)")

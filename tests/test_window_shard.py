@@ -92,6 +92,26 @@ def test_sharded_objective_padding_is_neutral():
     np.testing.assert_allclose(float(f_sh(x)), float(f_ref(x)), rtol=2e-5)
 
 
+def test_sharded_objective_padding_big_pano():
+    """Regression: padding batches used to carry ZERO bearings, and the
+    equirect projection's y/||ray|| then produced NaN which the weight-0
+    vote spread as 0*NaN through the big-pano SCATTER path (surfaced as a
+    NaN objective at B=1300 on the 8-device mesh, ECRot-scale table).
+    Padded rays are now valid unit-ish vectors; the objective must be
+    finite and match the single-device value."""
+    win, _ = _make_window(n_events=13_000, B=130)  # 130 % 8 = 2 -> pad 6
+    pano = EquirectCamera(width=4096, height=2048)
+    win = win._replace(ig_prime=jnp.zeros((2048, 4096), jnp.float32))
+    mesh = sharding.make_mesh(8)
+    f_ref, _ = warp_pano.make_pano_objective(win, pano, 2, 1.0, 0)
+    win_sh = shard_window_events(win, mesh)
+    f_sh, _ = make_sharded_pano_objective(mesh, win_sh, pano, 2, 1.0, 0)
+    x = jnp.zeros(3 * win.knots.shape[0], jnp.float32)
+    a, b = float(f_sh(x)), float(f_ref(x))
+    assert np.isfinite(a), "sharded objective is NaN"
+    np.testing.assert_allclose(a, b, rtol=2e-5)
+
+
 def test_sharded_window_solve_converges():
     """FR-CG through the sharded objective recovers the knot perturbation
     (the full multi-chip BA path: warp/votes sharded, psum per eval)."""
