@@ -156,12 +156,14 @@ def bench_backend_window():
         return slam, time.perf_counter() - t0
 
     replay()  # compile pass
-    # Best of 3 warm passes: the remote-device tunnel's round-trip latency
-    # fluctuates by tens of percent between minutes; the best pass reflects
+    # Best of 5 warm passes: the remote-device tunnel's round-trip latency
+    # fluctuates by tens of percent between minutes (clean back-to-back
+    # full-bench runs measured rt 0.88..1.06); each pass costs <1 s wall,
+    # so extra passes are cheap insurance that the recorded number reflects
     # the system's real streaming speed (same rationale as the kernel
     # bench's best-of-3 above).
     best = (None, float("inf"))
-    for _ in range(3):
+    for _ in range(5):
         slam, wall = replay()
         if wall < best[1]:
             best = (slam, wall)
