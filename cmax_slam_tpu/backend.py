@@ -101,8 +101,8 @@ def _with_prior(f, vg, lam):
 
 
 def _unpack_smalls(smalls, K: int, F: int):
-    """Decode the fused per-window small-argument vector (see
-    Backend._pack_smalls): [batch_times(B) | knots(4K) | free(K) |
+    """Decode the fused per-window small-argument vector (packed inline in
+    Backend._dispatch_window_solve_impl): [batch_times(B) | knots(4K) | free(K) |
     fov_times(F) | crop_ints(6) | prior_lam, t0, dt_knots]. One packed
     upload replaces seven small host->device transfers — on a remote-device
     tunnel each transfer is its own RPC, and the per-window dispatch cost
@@ -737,8 +737,11 @@ class Backend:
         a = self.store.searchsorted_time(t0, side="left")
         b = self.store.searchsorted_time(t_stop - 1e-6, side="right")
         xs, ys, ts, _ = self.store.slice_abs(a, b)
+        # prior_lam=0: the online bootstrap must match the scalar oracle's
+        # bootstrap mirror and the documented semantics (refine_prior_lambda
+        # applies ONLY to offline refine sweeps).
         self.bootstrap_results = self.refine_pass(
-            (xs.copy(), ys.copy(), ts.copy()), t_stop=t_stop
+            (xs.copy(), ys.copy(), ts.copy()), t_stop=t_stop, prior_lam=0.0
         )
         # The early trajectory_log entries predate the re-solve.
         self.trajectory_log = [
@@ -758,8 +761,8 @@ class Backend:
     # ------------------------------------------------------------------
     # Offline refinement sweep (beyond the reference)
     # ------------------------------------------------------------------
-    def refine_pass(self, source, t_stop: Optional[float] = None
-                    ) -> List[WindowResult]:
+    def refine_pass(self, source, t_stop: Optional[float] = None,
+                    prior_lam: Optional[float] = None) -> List[WindowResult]:
         """One additional sliding-window BA sweep over an already-tracked
         stream, starting from the online trajectory and the online global
         map.
@@ -784,6 +787,10 @@ class Backend:
         ``t_stop``: only re-solve windows that END at or before this time —
         the online bootstrap re-solve uses it to leave the stream head
         (whose windows are still collecting events) untouched.
+
+        ``prior_lam``: quadratic-prior weight toward the incoming knots for
+        this sweep (defaults to ``cfg.refine_prior_lambda``; the online
+        bootstrap re-solve forces 0 so it matches the oracle's bootstrap).
         """
         if self.traj is None or self.traj.size < self.order:
             raise ValueError("refine_pass needs a tracked trajectory; "
@@ -792,7 +799,9 @@ class Backend:
         saved = (self.t_win_beg, self.t_win_end, self.t_av_beg,
                  self.t_av_end, self.count_window, self.idx_cp_opt_beg,
                  self.first_window, self._prior_lam)
-        self._prior_lam = float(self.cfg.refine_prior_lambda)
+        self._prior_lam = float(
+            self.cfg.refine_prior_lambda if prior_lam is None else prior_lam
+        )
         if isinstance(source, tuple):
             chunks = iter([source])
         else:
@@ -1178,13 +1187,14 @@ class Backend:
             idx_cp_traj_beg=idx_cp_traj_beg, np_knots_sub=sub,
         )
 
-    def _finish_solve(self, p, packed=None) -> Tuple[float, float, int]:
+    def _finish_solve(self, p, packed=None
+                      ) -> Tuple[float, float, int, bool]:
         """Complete a dispatched window solve given its packed readback
         [4K knots | 8 stats] (fetched here if not already part of a fused
         readback), crop-escape re-solve if needed, then knot write-back
         (incrementalUpdate on the live trajectory,
         global_optim_contrast_gsl.cpp:130) and device-resident map
-        promotion."""
+        promotion. Returns (initial, final, iters, rejected)."""
         K = p["K"]
         if packed is None:
             packed = p.get("fetched")
@@ -1295,7 +1305,14 @@ class Backend:
         return img
 
     def restore(self, d) -> None:
-        """Inverse of checkpoint(): resume a run mid-stream."""
+        """Inverse of checkpoint(): resume a run mid-stream.
+
+        Restores the trajectory, global map, window cursors, the
+        integrator state (``pose_latest``/``_av_prev``) and the pending
+        ang-vel inbox, so the first window processed after resume
+        continues the interrupted stream exactly. Tolerates legacy
+        checkpoints (pre round-5) that lack the integrator keys by
+        reconstructing ``pose_latest`` from the restored spline."""
         knots = np.asarray(d["knots"])
         if len(knots):
             self.traj = spline.Trajectory(
@@ -1310,15 +1327,58 @@ class Backend:
         self.count_window = int(d["count_window"])
         self.t_win_beg = float(d["t_win_beg"])
         self.t_win_end = float(d["t_win_end"])
+        self._pending_win = None
+        if "be_initialized" in d:
+            self.t_av_beg = float(d["t_av_beg"])
+            self.t_av_end = float(d["t_av_end"])
+            self.initialized = bool(d["be_initialized"])
+            if self.initialized and self.traj is None:
+                # Initialized but no window completed yet: the live run had
+                # an EMPTY trajectory object (created by the first
+                # push_ang_vel); recreate it so the first window can push.
+                self.traj = spline.Trajectory(
+                    float(d["traj_t_beg"]), self.cfg.trajectory.dt_knots,
+                    self.order,
+                )
+            self.first_window = bool(d["first_window"])
+            self.idx_cp_opt_beg = int(d["idx_cp_opt_beg"])
+            pl = np.asarray(d["pose_latest"], np.float64)
+            self.pose_latest = (float(pl[0]), pl[1:5]) if len(pl) else None
+            ap = np.asarray(d["av_prev"], np.float64)
+            self._av_prev = (float(ap[0]), ap[1:4]) if len(ap) else None
+            self._av_times = [float(t) for t in np.asarray(d["av_inbox_t"])]
+            self._av_vals = [w for w in np.asarray(d["av_inbox_w"], np.float64)]
+            bp = int(d["bootstrap_pending"])
+            self._bootstrap_pending = None if bp < 0 else bp
+            tl = np.asarray(d["trajectory_log"], np.float64).reshape(-1, 5)
+            self.trajectory_log = [(float(r[0]), r[1:5]) for r in tl]
+            return
+        # Legacy checkpoint (no integrator state): re-init window-protocol
+        # phase from the cursors and rebuild pose_latest/_av_prev from the
+        # restored spline so the first _integrate_ang_vel after resume has
+        # a valid anchor instead of crashing on None.
         self.t_av_beg = self.t_win_beg
         self.t_av_end = self.t_win_end
         self.initialized = bool(len(knots))
         self.first_window = self.count_window == 0
+        if self.initialized and self.traj.size >= self.order:
+            t_anchor = min(self.t_win_beg, self.traj.max_time() - 1e-9)
+            q = self.traj.evaluate(t_anchor)[0]
+            self.pose_latest = (t_anchor, q)
+            self._av_prev = (t_anchor, np.zeros(3))
 
     def checkpoint(self) -> dict:
         """Serializable back-end state (SURVEY.md section 5: the reference has
-        no checkpoint/resume; knots + IG + counts are the whole state)."""
+        no checkpoint/resume; knots + IG + counts are the whole state, plus
+        the window-protocol cursors and integrator anchors so a resumed run
+        continues the stream exactly)."""
         self.flush()
+        if self._av_vals:
+            av_w = np.stack([self._av_value(v) for v in self._av_vals])
+        else:
+            av_w = np.zeros((0, 3))
+        tl = (np.array([[t, *q] for t, q in self.trajectory_log])
+              if self.trajectory_log else np.zeros((0, 5)))
         return {
             "knots": self.traj.knots if self.traj else np.zeros((0, 4)),
             "traj_t_beg": self.traj.t_beg if self.traj else 0.0,
@@ -1327,4 +1387,24 @@ class Backend:
             "count_window": self.count_window,
             "t_win_beg": getattr(self, "t_win_beg", 0.0),
             "t_win_end": getattr(self, "t_win_end", 0.0),
+            "t_av_beg": getattr(self, "t_av_beg", 0.0),
+            "t_av_end": getattr(self, "t_av_end", 0.0),
+            "be_initialized": self.initialized,
+            "first_window": self.first_window,
+            "idx_cp_opt_beg": self.idx_cp_opt_beg,
+            "pose_latest": (
+                np.array([self.pose_latest[0], *self.pose_latest[1]])
+                if self.pose_latest is not None else np.zeros(0)
+            ),
+            "av_prev": (
+                np.array([self._av_prev[0], *self._av_prev[1]])
+                if self._av_prev is not None else np.zeros(0)
+            ),
+            "av_inbox_t": np.asarray(self._av_times, np.float64),
+            "av_inbox_w": av_w,
+            "bootstrap_pending": (
+                -1 if self._bootstrap_pending is None
+                else int(self._bootstrap_pending)
+            ),
+            "trajectory_log": tl,
         }

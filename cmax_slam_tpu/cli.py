@@ -142,9 +142,14 @@ def main(argv=None) -> int:
           file=sys.stderr)
 
     slam = CMaxSLAM(calib, cfg, run_backend=not args.no_backend)
+    skip = 0
     if args.resume:
         slam.load_checkpoint(args.resume)
-        print(f"[cmax-slam-tpu] resumed from {args.resume}", file=sys.stderr)
+        # Skip the raw events the interrupted run already consumed; the
+        # checkpoint carries the exact stream position (system.raw_count).
+        skip = slam.raw_count
+        print(f"[cmax-slam-tpu] resumed from {args.resume} "
+              f"(skipping {skip} consumed events)", file=sys.stderr)
 
     # show_iwe config flags imply continuous image output (the reference
     # publishes /local_iwe and /pano_map topics when show_local_iwe /
@@ -166,6 +171,13 @@ def main(argv=None) -> int:
     else:
         source = iter_events(args.events, args.chunk_size, args.max_events)
     for chunk in source:
+        if skip:
+            n = len(chunk[2])
+            if n <= skip:
+                skip -= n
+                continue
+            chunk = tuple(a[skip:] for a in chunk)
+            skip = 0
         n_events += len(chunk[2])
         if t_first is None and len(chunk[2]):
             t_first = float(chunk[2][0])

@@ -292,6 +292,37 @@ class Frontend:
         """Kept for API symmetry with Backend.close(); the front-end holds no
         background resources (fetches are main-thread, fused per stride)."""
 
+    # ------------------------------------------------------------------
+    def checkpoint(self) -> dict:
+        """Serializable packetizer state: the rigid packet grid's phase
+        (``_t0``/``_cursor``/``_t_packet``), trigger-scan cursor, pending
+        packet spans, and the warm-start omega. Together with the shared
+        EventStore contents (serialized by the system) a resumed run emits
+        exactly the packets the interrupted run would have."""
+        return {
+            "fe_initialized": self._initialized,
+            "fe_t0": self._t0,
+            "fe_cursor": self._cursor,
+            "fe_t_packet": self._t_packet,
+            "fe_next_check_abs": self._next_check_abs,
+            "fe_pending": np.asarray(self._pending, np.int64).reshape(-1, 2),
+            "fe_omega": self.omega,
+        }
+
+    def restore(self, d) -> None:
+        """Inverse of checkpoint()."""
+        self._initialized = bool(d["fe_initialized"])
+        self._t0 = float(d["fe_t0"])
+        self._cursor = float(d["fe_cursor"])
+        self._t_packet = float(d["fe_t_packet"])
+        self._next_check_abs = int(d["fe_next_check_abs"])
+        self._pending = [
+            (int(a), int(b))
+            for a, b in np.asarray(d["fe_pending"]).reshape(-1, 2)
+        ]
+        self.omega = np.asarray(d["fe_omega"], np.float64)
+        self._inflight = None
+
     @property
     def omega(self) -> np.ndarray:
         """Current warm-start angular velocity (syncs the device)."""

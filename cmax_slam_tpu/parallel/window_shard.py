@@ -47,10 +47,11 @@ def shard_window_events(win: PanoWindow, mesh: Mesh, axis: str = "data"
     pad_b = (-B) % n_dev
     if pad_b:
         pe = pad_b * E
-        # Pad bearings with the +z unit vector, NOT zeros: the equirect
-        # projection divides by ||bearing|| and a zero ray makes arcsin(0/0)
-        # = NaN, which the weight-0 vote then spreads as 0*NaN = NaN into
-        # the partial image (surfaced at B=1300 on an 8-device mesh).
+        # Pad bearings with a nonzero constant ray ((1,1,1) columns on the
+        # component-major (3, N) layout), NOT zeros: the equirect projection
+        # divides by ||bearing|| and a zero ray makes arcsin(0/0) = NaN,
+        # which the weight-0 vote then spreads as 0*NaN = NaN into the
+        # partial image (surfaced at B=1300 on an 8-device mesh).
         win = win._replace(
             bearings=jnp.pad(win.bearings, ((0, 0), (0, pe)),
                              constant_values=((0, 0), (0, 1))),

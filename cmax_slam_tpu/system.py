@@ -74,6 +74,9 @@ class CMaxSLAM:
             self.frontend.auto_finalize = False
             self.backend.finalize_fn = self.frontend.finalize_batch
         self._decim_phase = 0
+        # Raw (pre-decimation) events consumed; checkpointed so a resumed
+        # replay knows how far into the recording to skip.
+        self._raw_count = 0
 
     # ------------------------------------------------------------------
     def push_events(self, xs, ys, ts, ps) -> List[AngVelEstimate]:
@@ -86,6 +89,7 @@ class CMaxSLAM:
         lazily — call ``frontend.finalize_batch(ests)`` (or read
         ``ang_vel_log``) before using their cost/iters fields."""
         rate = self.cfg.frontend_event_sample_rate
+        self._raw_count += len(ts)
         if rate > 1:
             # phase-continuous every-rate-th selection across chunks
             n = len(ts)
@@ -193,20 +197,54 @@ class CMaxSLAM:
         if self.backend is not None:
             self.backend.close()
 
+    @property
+    def raw_count(self) -> int:
+        """Raw (pre-decimation) events consumed so far. A resume driver
+        skips this many events of the recording before resuming the feed
+        (see load_checkpoint / cli --resume)."""
+        return self._raw_count
+
     def save_checkpoint(self, path: str) -> None:
-        """Serialize full system state (knots, global map, cursors) — a
-        capability the reference lacks (SURVEY.md section 5)."""
+        """Serialize full system state — a capability the reference lacks
+        (SURVEY.md section 5): trajectory knots, global map, window
+        cursors, integrator anchors, the ang-vel inbox, the front-end
+        packetizer phase, the resident EventStore window, and the raw
+        stream position. ``load_checkpoint`` + feeding the events after
+        ``raw_count`` reproduces the uninterrupted run."""
+        self.flush()
         state = {}
         if self.backend is not None:
             state.update(self.backend.checkpoint())
+        state.update(self.frontend.checkpoint())
+        st = self.store
+        state.update(
+            store_base=st.base, store_xs=st._xs, store_ys=st._ys,
+            store_ts=st._ts, store_ps=st._ps, store_t_last=st._t_last,
+            raw_count=self._raw_count, decim_phase=self._decim_phase,
+        )
         state["ang_vel_log"] = self.ang_vel_log
         state["frontend_omega"] = self.frontend.omega
         np.savez_compressed(path, **state)
 
     def load_checkpoint(self, path: str) -> None:
-        """Restore back-end state (trajectory knots, global map, window
-        cursors) and the front-end warm start from a checkpoint."""
+        """Restore full system state from a checkpoint (see save_checkpoint).
+        Construct the system with the SAME config and calibration, load, then
+        resume pushing the raw events after ``raw_count``. Tolerates legacy
+        (pre round-5) checkpoints that carried only knots + map + warm start:
+        those re-init the stream protocol on the next pushed chunk."""
         d = np.load(path)
-        self.frontend.omega = np.asarray(d["frontend_omega"], np.float64)
+        if "store_base" in d:
+            st = self.store
+            st._xs = np.asarray(d["store_xs"], np.int32)
+            st._ys = np.asarray(d["store_ys"], np.int32)
+            st._ts = np.asarray(d["store_ts"], np.float64)
+            st._ps = np.asarray(d["store_ps"], np.int8)
+            st.base = int(d["store_base"])
+            st._t_last = float(d["store_t_last"])
+            self.frontend.restore(d)
+            self._raw_count = int(d["raw_count"])
+            self._decim_phase = int(d["decim_phase"])
+        else:
+            self.frontend.omega = np.asarray(d["frontend_omega"], np.float64)
         if self.backend is not None:
             self.backend.restore(d)
