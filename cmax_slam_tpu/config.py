@@ -131,11 +131,15 @@ class FrontendConfig:
     # Vector ladder by default: the packet objective is small enough that
     # sequential bracket probing is loop-overhead-bound on TPU (measured
     # ~2.4 ms/CG-iteration sequential vs ~0.5 ms of eval work). Secant
-    # budget 2: the realtime stride is trip-latency-bound and 2 measured
-    # identical per-packet iteration counts at 52 -> 42 ms/stride.
+    # budget stays at the GSL-shaped 4: the round-4 default of 2 saved
+    # ~10 ms/stride but silently degraded oracle-parity trajectory RMS
+    # 0.084 -> 0.126 deg (per-packet omega errors it leaves behind are
+    # individually tiny — median gap 0.013 -> 0.019 — but they integrate
+    # into the back-end's initial knots and the frozen early knots keep
+    # them). Set secant_refine_evals=2 only when trading accuracy for
+    # stride latency is explicitly acceptable (e.g. live load-shedding).
     optim: OptimOptions = field(
-        default_factory=lambda: OptimOptions(ladder="vector",
-                                             secant_refine_evals=2))
+        default_factory=lambda: OptimOptions(ladder="vector"))
     show_iwe: bool = False
     # Coarse-to-fine CMax (no reference counterpart): first solve on a
     # 3x-blurred IWE (wider basin of attraction for fast motion from cold
