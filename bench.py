@@ -143,6 +143,11 @@ def bench_backend_window():
                 pano_height=512, pano_width=1024, backend_min_ev_rate=10000,
                 max_update_times=200,
             ),
+            # The default one-time bootstrap re-solve (accuracy feature,
+            # config.bootstrap_resolve_window) is a startup transient like
+            # compilation; on this short warm-replay stream (5 windows) it
+            # would re-solve 4 of them and misstate the steady-state rate.
+            bootstrap_resolve_window=None,
         ),
     )
 

@@ -245,8 +245,16 @@ class BackendConfig:
     # them, pose_graph_optimizer.cpp:283-288); by window ~4 the map is rich
     # enough to anchor them. Uses only past events (retained in the shared
     # store until the re-solve runs), so the output remains a valid online
-    # trajectory; costs `index` extra window solves, once. None = off.
-    bootstrap_resolve_window: int | None = None
+    # trajectory; costs `index` extra window solves, once.
+    #
+    # DEFAULT ON (4): this is what puts the stock presets at the <= 0.1 deg
+    # north star online (measured 0.372 -> 0.093 deg cubic e2e; the linear
+    # e2e and oracle-parity gates certify the same defaults). The cost is
+    # bounded and one-time: 4 extra window solves and ~4 strides of events
+    # retained until the re-solve fires. Set None for latency-critical live
+    # feeds (live_davis_config does) or to mirror the reference's strictly
+    # never-revisit protocol.
+    bootstrap_resolve_window: int | None = 4
 
 
 @dataclass(frozen=True)
@@ -347,19 +355,34 @@ def live_davis_config() -> SystemConfig:
                 pano_height=512, pano_width=1024, max_update_times=200,
                 backend_min_ev_rate=10,
             ),
+            # Live mode sheds load everywhere (the launch file decimates 10x
+            # front / 5x back); the one-time bootstrap re-solve would add a
+            # 4-window latency spike right as tracking starts, so live keeps
+            # the reference's never-revisit protocol.
+            bootstrap_resolve_window=None,
         ),
         frontend_event_sample_rate=10,
     )
 
 
 def replace(cfg, **kwargs):
-    """dataclasses.replace that tolerates nested dotted keys ('warp.blur_sigma')."""
+    """dataclasses.replace that tolerates nested dotted keys ('warp.blur_sigma').
+
+    Dotted keys sharing a prefix ('pano_map.pano_height' and
+    'pano_map.pano_width') are grouped and applied in ONE sub-replace, so
+    they compose instead of the later one clobbering the earlier.
+    """
     flat = {}
+    nested: dict = {}
     for key, val in kwargs.items():
         if "." in key:
             head, rest = key.split(".", 1)
-            sub = replace(getattr(cfg, head), **{rest: val})
-            flat[head] = sub
+            nested.setdefault(head, {})[rest] = val
         else:
             flat[key] = val
+    for head, sub_kwargs in nested.items():
+        if head in flat:
+            raise ValueError(
+                f"conflicting keys: '{head}' set both directly and via dotted keys")
+        flat[head] = replace(getattr(cfg, head), **sub_kwargs)
     return dataclasses.replace(cfg, **flat)

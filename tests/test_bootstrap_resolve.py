@@ -85,9 +85,13 @@ def test_bootstrap_resolve_fires_and_helps():
 
     # The early trajectory_log entries were refreshed from the re-solved
     # trajectory (they must match a direct evaluation, not the stale knots).
+    # Tolerance 1e-7 (~0.03 deg): later prefix-retirement re-basing perturbs
+    # the frozen knots at f32 rounding level (measured |dot| ~ 1 - 5e-9),
+    # while a STALE entry differs by the re-solve's whole correction
+    # (~0.3 deg, |dot| ~ 1 - 1e-5) — two orders of margin either side.
     for t, q in be.trajectory_log[:2]:
         q_now = be.traj.evaluate(t)[0]
-        assert abs(float(np.dot(q, q_now))) > 1 - 1e-9
+        assert abs(float(np.dot(q, q_now))) > 1 - 1e-7
 
 
 def test_bootstrap_retention_then_release():

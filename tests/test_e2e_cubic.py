@@ -6,10 +6,7 @@ import pytest
 
 from cmax_slam_tpu import spline
 from cmax_slam_tpu.calib import CameraCalibration
-from cmax_slam_tpu.config import (
-    BackendConfig, FrontendConfig, PanoMapOptions, SlidingWindowOptions,
-    SystemConfig, TrajectoryOptions, WarpOptions,
-)
+from cmax_slam_tpu.config import ijrr_config, replace
 from cmax_slam_tpu.io import synthetic
 from cmax_slam_tpu.system import CMaxSLAM
 from cmax_slam_tpu.utils.evaluate import rotation_rms_deg
@@ -64,28 +61,19 @@ def _run_cubic(bracket: int = 16, refine_passes: int = 0):
         width=W, height=H,
         K=np.array([[FX, 0, W / 2], [0, FY, H / 2], [0, 0, 1.0]]),
     )
-    from cmax_slam_tpu.config import OptimOptions
-    cfg = SystemConfig(
-        frontend=FrontendConfig(
-            num_events_per_packet=4000, dt_ang_vel=0.02,
-            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100),
-        ),
-        backend=BackendConfig(
-            sliding_window=SlidingWindowOptions(0.2, 0.1),
-            warp=WarpOptions(blur_sigma=1.0, event_batch_size=100),
-            trajectory=TrajectoryOptions(dt_knots=0.05, spline_degree=3),
-            pano_map=PanoMapOptions(
-                pano_height=256, pano_width=512, backend_min_ev_rate=10000,
-                max_update_times=200,
-            ),
-            optim=OptimOptions(grad_tol=1e-4, line_search_tol=0.1,
-                               max_fevals_per_linesearch=bracket),
-            # One-time causal re-solve of the early windows once the map
-            # has matured (config.bootstrap_resolve_window): measured
-            # 0.488 -> 0.099 deg on this stream (TPU probe) — the online
-            # cold-start transient, not solver slack, dominated the RMS.
-            bootstrap_resolve_window=4,
-        ),
+    # STOCK ijrr preset + the reference's spline_degree=3 launch knob, with
+    # dataset-scale overrides only (same dotted keys as the CLI's --set).
+    # Accuracy knobs (optimizer, bootstrap re-solve) are library defaults:
+    # the gate certifies what a user running the preset gets.
+    cfg = replace(
+        ijrr_config(num_events_per_packet=4000),
+        **{
+            "frontend.dt_ang_vel": 0.02,
+            "backend.pano_map.pano_height": 256,
+            "backend.pano_map.pano_width": 512,
+            "backend.trajectory.spline_degree": 3,
+            "backend.optim.max_fevals_per_linesearch": bracket,
+        },
     )
     slam = CMaxSLAM(calib, cfg)
     for i in range(0, n, 20000):

@@ -105,6 +105,10 @@ def oracle_run(stream):
         time_window_size=WIN, sliding_window_stride=STRIDE,
         dt_knots=DT_KNOTS, blur_sigma=SIGMA, event_batch_size=BATCH,
         min_ev_rate=MIN_EV_RATE, max_update_times=MAX_UPD,
+        # Mirror the production library default (config.BackendConfig
+        # .bootstrap_resolve_window=4): the parity gate certifies the
+        # STOCK protocol on both sides.
+        bootstrap_resolve_window=4,
     )
     ev = stream
     traj, ests, tlog = oracle.run_oracle(ev.xs, ev.ys, ev.ts, fe, be)
