@@ -63,7 +63,7 @@ def _sanitize(px, py, weights, height, width):
 
 
 def _fwd_kernel(px_ref, py_ref, w_ref, out_ref, *, height, width, acc_dtype,
-                mxu_precision, carry_acc):
+                mxu_precision, carry_acc, rows=ROWS, orient="lanes"):
     k = pl.program_id(0)
 
     @pl.when(k == 0)
@@ -73,6 +73,8 @@ def _fwd_kernel(px_ref, py_ref, w_ref, out_ref, *, height, width, acc_dtype,
     # Column/row coordinate vectors, hoisted out of the event loop.
     col_x = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1).astype(acc_dtype)
     col_y = jax.lax.broadcasted_iota(jnp.int32, (1, height), 1).astype(acc_dtype)
+    row_y = jax.lax.broadcasted_iota(jnp.int32, (height, 1), 0).astype(acc_dtype)
+    row_x = jax.lax.broadcasted_iota(jnp.int32, (width, 1), 0).astype(acc_dtype)
 
     def votes(r):
         px, py, w = _sanitize(
@@ -81,11 +83,47 @@ def _fwd_kernel(px_ref, py_ref, w_ref, out_ref, *, height, width, acc_dtype,
         # Forward-only hat: max(0, 1 - |p - col|) — identical values to the
         # floor parametrization at half the VPU ops (the one-sided derivative
         # only matters in the VJP, which _bwd_kernel computes explicitly).
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(px.astype(acc_dtype)[:, None] - col_x))
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(py.astype(acc_dtype)[:, None] - col_y))
-        wy = wy * w.astype(acc_dtype)[:, None]
+        # Three hat/contraction layouts (the `orient` knob; the default
+        # 'lanes' measured 2.1x 'rows' forward and 2.5x fwd+VJP on v5e —
+        # examples/tpu_kernel_headroom.py):
+        #   rows  — hats (lane, H)/(lane, W), contraction over the SUBLANE
+        #           dim of both operands (the original formulation; Mosaic
+        #           must relayout the lane-major event vector into sublanes
+        #           to build the hats, which dominated the kernel).
+        #   mixed — wy built transposed (H, lane) so the contraction is the
+        #           MXU-native (M, K) x (K, N) orientation.
+        #   lanes — both hats event-major in lanes, A @ B^T contraction; no
+        #           event-vector sublane relayout in hat building at all.
+        if orient == "rows":
+            wx = jnp.maximum(
+                0.0, 1.0 - jnp.abs(px.astype(acc_dtype)[:, None] - col_x))
+            wy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(py.astype(acc_dtype)[:, None] - col_y))
+            wy = wy * w.astype(acc_dtype)[:, None]
+            return jax.lax.dot_general(
+                wy, wx, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_precision,
+            )
+        if orient == "mixed":
+            wx = jnp.maximum(
+                0.0, 1.0 - jnp.abs(px.astype(acc_dtype)[:, None] - col_x))
+            wyT = jnp.maximum(
+                0.0, 1.0 - jnp.abs(row_y - py.astype(acc_dtype)[None, :]))
+            wyT = wyT * w.astype(acc_dtype)[None, :]
+            return jax.lax.dot_general(
+                wyT, wx, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_precision,
+            )
+        # orient == "lanes"
+        wxT = jnp.maximum(
+            0.0, 1.0 - jnp.abs(row_x - px.astype(acc_dtype)[None, :]))
+        wyT = jnp.maximum(
+            0.0, 1.0 - jnp.abs(row_y - py.astype(acc_dtype)[None, :]))
+        wyT = wyT * w.astype(acc_dtype)[None, :]
         return jax.lax.dot_general(
-            wy, wx, (((0,), (0,)), ((), ())),
+            wyT, wxT, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu_precision,
         )
@@ -95,7 +133,7 @@ def _fwd_kernel(px_ref, py_ref, w_ref, out_ref, *, height, width, acc_dtype,
         # per block — serializing 8 read-modify-writes of out_ref halves
         # throughput on the local-IWE path, measured 191 -> 97 M ev/s).
         out_ref[:] += jax.lax.fori_loop(
-            0, ROWS, lambda r, acc: acc + votes(r), jnp.zeros_like(out_ref)
+            0, rows, lambda r, acc: acc + votes(r), jnp.zeros_like(out_ref)
         )
     else:
         # Big pano crops: accumulate straight into the output ref — the
@@ -105,7 +143,7 @@ def _fwd_kernel(px_ref, py_ref, w_ref, out_ref, *, height, width, acc_dtype,
             out_ref[:] += votes(r)
             return 0
 
-        jax.lax.fori_loop(0, ROWS, row, 0)
+        jax.lax.fori_loop(0, rows, row, 0)
 
 
 def _bwd_kernel(px_ref, py_ref, w_ref, g_ref, dpx_ref, dpy_ref, dw_ref,
@@ -144,21 +182,74 @@ def _bwd_kernel(px_ref, py_ref, w_ref, g_ref, dpx_ref, dpy_ref, dw_ref,
     jax.lax.fori_loop(0, ROWS, row, 0)
 
 
-def _pad_blocks(px, py, weights, lane):
+def _hats_T(coords, size, dtype, with_deriv=False):
+    """(C,) coords -> (size, C) bilinear hat weights, event-major in LANES
+    (+ d/dcoord factors). Same floor parametrization as _hats, transposed."""
+    fl = jnp.floor(coords)
+    frac = (coords - fl).astype(dtype)
+    cell = fl.astype(jnp.int32)
+    grid = jax.lax.broadcasted_iota(jnp.int32, (size, coords.shape[0]), 0)
+    is0 = (grid == cell[None, :]).astype(dtype)
+    is1 = (grid == cell[None, :] + 1).astype(dtype)
+    w = (1.0 - frac)[None, :] * is0 + frac[None, :] * is1
+    if not with_deriv:
+        return w, None
+    return w, is1 - is0
+
+
+def _bwd_kernel_lanes(px_ref, py_ref, w_ref, g_ref, gT_ref,
+                      dpx_ref, dpy_ref, dw_ref,
+                      *, height, width, acc_dtype, mxu_precision):
+    """Lanes-orientation VJP: hats are built event-major in LANES (no
+    sublane relayout of the event vector) and both contractions run in the
+    MXU-native (M, K) x (K, N) orientation against the upstream gradient —
+    g for one, its pre-transposed copy gT (transposed ONCE per VJP call by
+    XLA, not per grid step) for the other. Same gradient semantics as
+    _bwd_kernel; picked by measurement (examples/tpu_kernel_headroom.py)."""
+    g = g_ref[:].astype(acc_dtype)    # (H, W)
+    gT = gT_ref[:].astype(acc_dtype)  # (W, H)
+
+    def row(r, _):
+        px, py, w = _sanitize(
+            px_ref[r, :], py_ref[r, :], w_ref[r, :], height, width
+        )
+        wxT, dwxT = _hats_T(px, width, acc_dtype, with_deriv=True)
+        wyT, dwyT = _hats_T(py, height, acc_dtype, with_deriv=True)
+
+        # aT[x, e] = sum_y g[y, x] wyT[y, e]   (W, C)
+        aT = jax.lax.dot_general(
+            gT, wyT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=mxu_precision,
+        )
+        # bT[y, e] = sum_x g[y, x] wxT[x, e]   (H, C)
+        bT = jax.lax.dot_general(
+            g, wxT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=mxu_precision,
+        )
+        wf = w.astype(jnp.float32)
+        dpx_ref[r, :] = wf * jnp.sum(aT * dwxT.astype(jnp.float32), axis=0)
+        dpy_ref[r, :] = wf * jnp.sum(bT * dwyT.astype(jnp.float32), axis=0)
+        dw_ref[r, :] = jnp.sum(aT * wxT.astype(jnp.float32), axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, ROWS, row, 0)
+
+
+def _pad_blocks(px, py, weights, lane, rows=ROWS):
     n = px.shape[0]
-    block = ROWS * lane
+    block = rows * lane
     pad = (-n) % block
     if pad:
         px = jnp.pad(px, (0, pad))
         py = jnp.pad(py, (0, pad))
         weights = jnp.pad(weights, (0, pad))
     blocks = px.shape[0] // block
-    shape = (blocks * ROWS, lane)
+    shape = (blocks * rows, lane)
     return px.reshape(shape), py.reshape(shape), weights.reshape(shape), blocks, n
 
 
-def _ev_spec(lane):
-    return pl.BlockSpec((ROWS, lane), lambda k: (k, 0), memory_space=pltpu.VMEM)
+def _ev_spec(lane, rows=ROWS):
+    return pl.BlockSpec((rows, lane), lambda k: (k, 0), memory_space=pltpu.VMEM)
 
 
 def _resolve(precision: str):
@@ -172,31 +263,34 @@ def _resolve(precision: str):
     return jnp.float32, jax.lax.Precision.DEFAULT
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def bilinear_accumulate_pallas(
     px, py, weights, height: int, width: int, precision: str = "highest",
-    lane: int = LANE,
+    lane: int = LANE, rows: int = ROWS, orient: str = "lanes",
 ):
     """Drop-in Pallas replacement for scatter.bilinear_accumulate."""
-    return _fwd_impl(px, py, weights, height, width, precision, lane)
+    return _fwd_impl(px, py, weights, height, width, precision, lane, rows,
+                     orient)
 
 
-def _fwd_impl(px, py, weights, height, width, precision, lane):
+def _fwd_impl(px, py, weights, height, width, precision, lane, rows=ROWS,
+              orient="lanes"):
     acc_dtype, mxu = _resolve(precision)
     px2, py2, w2, blocks, _ = _pad_blocks(
         px.astype(jnp.float32), py.astype(jnp.float32),
-        weights.astype(jnp.float32), lane,
+        weights.astype(jnp.float32), lane, rows,
     )
     kernel = functools.partial(
         _fwd_kernel, height=height, width=width, acc_dtype=acc_dtype,
         mxu_precision=mxu,
         carry_acc=vmem_fits(height, width, lane, with_carry=True),
+        rows=rows, orient=orient,
     )
     return pl.pallas_call(
         kernel,
         grid=(blocks,),
         interpret=jax.default_backend() != "tpu",
-        in_specs=[_ev_spec(lane), _ev_spec(lane), _ev_spec(lane)],
+        in_specs=[_ev_spec(lane, rows)] * 3,
         out_specs=pl.BlockSpec(
             (height, width), lambda k: (0, 0), memory_space=pltpu.VMEM
         ),
@@ -204,12 +298,13 @@ def _fwd_impl(px, py, weights, height, width, precision, lane):
     )(px2, py2, w2)
 
 
-def _vjp_fwd(px, py, weights, height, width, precision, lane):
-    out = _fwd_impl(px, py, weights, height, width, precision, lane)
+def _vjp_fwd(px, py, weights, height, width, precision, lane, rows, orient):
+    out = _fwd_impl(px, py, weights, height, width, precision, lane, rows,
+                    orient)
     return out, (px, py, weights)
 
 
-def _vjp_bwd(height, width, precision, lane, res, g):
+def _vjp_bwd(height, width, precision, lane, rows, orient, res, g):
     px, py, weights = res
     n = px.shape[0]
     acc_dtype, mxu = _resolve(precision)
@@ -233,24 +328,38 @@ def _vjp_bwd(height, width, precision, lane, res, g):
         px.astype(jnp.float32), py.astype(jnp.float32),
         weights.astype(jnp.float32), lane,
     )
-    kernel = functools.partial(
-        _bwd_kernel, height=height, width=width, acc_dtype=acc_dtype,
-        mxu_precision=mxu,
-    )
     img_spec = pl.BlockSpec((height, width), lambda k: (0, 0),
                             memory_space=pltpu.VMEM)
+    if orient == "lanes":
+        kernel = functools.partial(
+            _bwd_kernel_lanes, height=height, width=width,
+            acc_dtype=acc_dtype, mxu_precision=mxu,
+        )
+        imgT_spec = pl.BlockSpec((width, height), lambda k: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        g32 = g.astype(jnp.float32)
+        extra_in = [imgT_spec]
+        args = (px2, py2, w2, g32, g32.T)
+    else:
+        kernel = functools.partial(
+            _bwd_kernel, height=height, width=width, acc_dtype=acc_dtype,
+            mxu_precision=mxu,
+        )
+        extra_in = []
+        args = (px2, py2, w2, g.astype(jnp.float32))
     dpx, dpy, dw = pl.pallas_call(
         kernel,
         grid=(blocks,),
         interpret=jax.default_backend() != "tpu",
-        in_specs=[_ev_spec(lane), _ev_spec(lane), _ev_spec(lane), img_spec],
+        in_specs=[_ev_spec(lane), _ev_spec(lane), _ev_spec(lane), img_spec,
+                  *extra_in],
         out_specs=[_ev_spec(lane), _ev_spec(lane), _ev_spec(lane)],
         out_shape=[
             jax.ShapeDtypeStruct((blocks * ROWS, lane), jnp.float32),
             jax.ShapeDtypeStruct((blocks * ROWS, lane), jnp.float32),
             jax.ShapeDtypeStruct((blocks * ROWS, lane), jnp.float32),
         ],
-    )(px2, py2, w2, g.astype(jnp.float32))
+    )(*args)
     return (
         dpx.reshape(-1)[:n].astype(px.dtype),
         dpy.reshape(-1)[:n].astype(py.dtype),
@@ -284,15 +393,17 @@ def pick_bwd_lane(height: int, width: int,
                   budget_bytes: int = 15 * 1024 * 1024) -> int:
     """Widest lane the BACKWARD kernel fits at; 0 -> caller chains through
     the XLA vote path. Live set: the upstream (H, W) block (double-buffered,
-    plus one arithmetic copy), hats + derivative hats (2 pairs) and the two
-    contraction results (1 pair) with their f32 casts (~6 pairs total).
-    Calibrated on v5e: 1024x1280 at lane 256 measured 31.3 MB -> reject;
-    the 180x240 local IWE at lane 1024 runs (11.9 MB predicted)."""
+    plus one arithmetic copy) AND its pre-transposed (W, H) copy for the
+    lanes-orientation contraction (4 acc copies total), hats + derivative
+    hats (2 pairs) and the two contraction results (1 pair) with their f32
+    casts (~6 pairs total). Calibrated on v5e: 1024x1280 at lane 256
+    measured 31.3 MB -> reject; the 180x240 local IWE at lane 1024 runs
+    (11.9 MB predicted at 3 copies; the 4th adds 0.18 MB there)."""
     acc = height * ((width + 127) // 128 * 128) * 4
     pair = (height + width) * 4
     misc = 1 * 1024 * 1024
     for lane in (1024, 512, 256, 128):
-        if 3 * acc + 6 * lane * pair + misc < budget_bytes:
+        if 4 * acc + 6 * lane * pair + misc < budget_bytes:
             return lane
     return 0
 
