@@ -67,12 +67,18 @@ for p in range(max(1, PASSES)):
     wall = time.perf_counter() - t0
     res = slam.window_results()
     bs = slam.metrics.timers.get("backend.solve")
+    bf = slam.metrics.timers.get("backend.fetch")
     tag = "warm" if p else "cold"
     print(f"[{tag}] windows={len(res)} ba={[r.ran_ba for r in res]} "
           f"wall={wall:.1f}s rt_factor={duration / wall:.3f}")
     if bs:
         print(f"[{tag}] backend dispatches: {bs.count} mean {bs.mean:.2f}s "
               f"(min {bs.minimum:.2f}s)")
+    if bf and bf.count:
+        # bench.py's per-window metric: dispatch + readback wait — the
+        # number PARITY.md's ECRot-scale row records.
+        ms = (bs.total + bf.total) / bf.count * 1e3
+        print(f"[{tag}] backend window (solve+fetch): {ms:.1f} ms")
 traj = slam.backend.traj
 t_grid = np.linspace(traj.t_beg + 1e-6, traj.max_time() - 1e-6, 30)
 q_est = traj.evaluate(t_grid)

@@ -87,14 +87,38 @@ def main():
     print(f"warp only:                            "
           f"{timed(warp_step) / 1e6:8.1f} M ev/s", flush=True)
 
-    # -- blur only (per-eval cost expressed against the 1M-event packet)
+    # -- warp in component-major (3, N) layout: does dodging the (N, 3)
+    # narrow-lane layout matter, or does XLA's layout assignment already
+    # store it transposed?
+    b3 = jax.block_until_ready(packet.bearings.T.copy())
+
+    def warp_cm_step(carry, i, b, dts):
+        omega = omega0 + carry * 1e-12 + i * 1e-6
+        dx, dy, dz = dts * omega[0], dts * omega[1], dts * omega[2]
+        bx, by, bz = b
+        rx = bx + dy * bz - dz * by
+        ry = by + dz * bx - dx * bz
+        rz = bz + dx * by - dy * bx
+        inv_z = 1.0 / rz
+        px = cam.fx * rx * inv_z + cam.cx
+        py = cam.fy * ry * inv_z + cam.cy
+        return jnp.mean(px) + jnp.mean(py)
+
+    print(f"warp only, component-major (3, N):    "
+          f"{timed(warp_cm_step, b3, packet.dts) / 1e6:8.1f} M ev/s",
+          flush=True)
+
+    # -- blur only (per-eval cost expressed against the 1M-event packet).
+    # NB the perturbation must be NONLINEAR (abs): blur is linear, so any
+    # affine perturbation lets XLA hoist the loop-invariant matmuls out of
+    # the scan and the chain measures nothing.
     iwe0 = jax.block_until_ready(warp_local.local_iwe(
         omega0, warp_local.EventPacket(*packet), cam, 1.0,
         precision="default"))
 
     def blur_step(carry, i, img):
-        return jnp.mean(gaussian_blur(img + carry * 1e-12 + i * 1e-9, 1.0,
-                                      precision="default"))
+        return jnp.mean(gaussian_blur(jnp.abs(img - carry * 1e-6 - i * 1e-9),
+                                      1.0, precision="default"))
 
     print(f"blur only:                            "
           f"{timed(blur_step, iwe0) / 1e6:8.1f} M ev/s", flush=True)
