@@ -21,8 +21,9 @@ from cmax_slam_tpu.frontend import Frontend
 from cmax_slam_tpu.ops.warp_local import CameraParams
 import cmax_slam_tpu.frontend as fe_mod
 
-W, H = 240, 180
-FX = FY = 180.0
+W = int(os.environ.get("RT_W", 240))
+H = int(os.environ.get("RT_H", 180))
+FX = FY = float(os.environ.get("RT_F", 180.0))
 RATE = int(os.environ.get("RT_RATE", 390_000))
 DURATION = float(os.environ.get("RT_DURATION", 3.0))
 CHUNK = RATE // 10
@@ -40,6 +41,13 @@ calib = CameraCalibration(
 cfg = ijrr_config()
 PRECISION = os.environ.get("RT_PRECISION", "default")
 cfg = cfg_replace(cfg, **{"frontend.warp.precision": PRECISION})
+# Optional overrides so the same probe covers ECRot-shed geometry
+# (dt_ang_vel 0.01, 20k packets): RT_PACKET / RT_DT.
+if os.environ.get("RT_PACKET"):
+    cfg = cfg_replace(cfg, **{
+        "frontend.num_events_per_packet": int(os.environ["RT_PACKET"])})
+if os.environ.get("RT_DT"):
+    cfg = cfg_replace(cfg, **{"frontend.dt_ang_vel": float(os.environ["RT_DT"])})
 
 cam = CameraParams(fx=FX, fy=FY, cx=W / 2, cy=H / 2, width=W, height=H)
 lut = bearing_lut(calib)
@@ -144,7 +152,7 @@ print("compile pass...", flush=True)
 run(False)
 wall_plain = run(False)
 wall_instr = run(True)
-strides = int(DURATION * 10)
+strides = max(1, int(DURATION / cfg.frontend.dt_ang_vel))
 print(json.dumps({
     "wall_plain_s": round(wall_plain, 3),
     "wall_instrumented_s": round(wall_instr, 3),
