@@ -66,17 +66,19 @@ def _map_epilogue(ig, update_times, il_old, knots_new, fov_times,
 
 def _unpack_window(evd, batch_times, knots, free_mask, t0, dt_knots,
                    ig_prime, lut_dev, cam_width: int) -> PanoWindow:
-    """Device-side window assembly from the packed [xs|ys|weight|is_old]
-    upload: LUT bearing gather (component-major) + flag decode."""
-    valid = evd[2] > 0
+    """Device-side window assembly from the bit-packed int32 event upload
+    (x: bits 0-11, y: 12-23, valid: 24, is_old: 25 — see _window_arrays):
+    LUT bearing gather (component-major) + flag decode. 4 B/event on the
+    host->device link, bit-exact vs the old (4, N) float32 layout."""
+    valid = (evd >> 24) & 1
     idx = jnp.where(
-        valid, evd[1].astype(jnp.int32) * cam_width + evd[0].astype(jnp.int32),
-        0,
+        valid > 0, ((evd >> 12) & 0xFFF) * cam_width + (evd & 0xFFF), 0
     )
     bearings = jnp.take(lut_dev, idx, axis=0).T  # (3, N) lane-major
     return PanoWindow(
-        bearings=bearings, batch_times=batch_times, weights=evd[2],
-        is_old=evd[3] > 0, knots=knots, free_mask=free_mask,
+        bearings=bearings, batch_times=batch_times,
+        weights=valid.astype(jnp.float32),
+        is_old=((evd >> 25) & 1) > 0, knots=knots, free_mask=free_mask,
         t0=t0, dt_knots=dt_knots, ig_prime=ig_prime, alpha=jnp.float32(0.0),
     )
 
@@ -351,6 +353,12 @@ class Backend:
         self.lut = np.asarray(lut, np.float32)
         with self._on_device():
             self.lut_dev = jnp.asarray(self.lut)
+        if cam_width > 0xFFF or cam_height > 0xFFF:
+            # The window event upload bit-packs x/y into 12 bits each
+            # (_window_arrays); every event-camera sensor is far below this.
+            raise ValueError(
+                f"sensor {cam_width}x{cam_height} exceeds the 4095-pixel "
+                "bit-packed event upload limit")
         self.cam_width = cam_width
         self.cam_height = cam_height
 
@@ -961,14 +969,14 @@ class Backend:
         t_knot0 = self.traj.knot_time(idx_cp_traj_beg)
         batch_rel = (batch_mid - t_knot0).astype(np.float32)
 
-        # One packed upload [xs | ys | weight | is_old]; the (3, N) bearing
-        # gather runs on device inside the solver (the host gather + 3x
-        # larger transfer used to cost ~15 ms per window).
-        evd = np.zeros((4, size), np.float32)
-        evd[0] = xs_p
-        evd[1] = ys_p
-        evd[2] = valid
-        evd[3] = is_old & valid
+        # One bit-packed int32 upload per event (x: bits 0-11, y: 12-23,
+        # valid: 24, is_old: 25; decoded in _unpack_window) — 4 B/event on
+        # the link vs 16 B for the old (4, N) float32 layout, bit-exact.
+        # The (3, N) bearing gather runs on device inside the solver (the
+        # host gather + 3x larger transfer used to cost ~15 ms per window).
+        evd = (xs_p | (ys_p << 12)
+               | (valid.astype(np.int32) << 24)
+               | ((is_old & valid).astype(np.int32) << 25))
 
         return {
             "evd": jnp.asarray(evd),

@@ -155,6 +155,19 @@ class FrontendConfig:
     # packets); measured equal-accuracy at ~5x less device time per stride.
     # 0 = always use the sequential path.
     batch_sweeps: int = 2
+    # Device-resident event ring (TPU-native; no reference counterpart —
+    # the reference re-reads its host event vector per packet,
+    # ang_vel_estimator.cpp:137-147). Events cross the host->device link
+    # ONCE at 8 B each (bearing-LUT index + relative time); the packet
+    # solvers gather their overlapping packets from the ring on device.
+    # Solver inputs are bit-identical to the upload path; strides whose
+    # packets were lapped by the ring fall back to host marshalling
+    # automatically. Upload was measured at 75% of front-end stride cost
+    # at ECRot-shed geometry before this (examples/tpu_fe_host_decomp.py).
+    device_store: bool = True
+    # Ring capacity in events (rounded up to a power of two).
+    # 0 = auto: >= 16 packets of reach-back, minimum 2^21 (16 MiB HBM).
+    device_store_capacity: int = 0
 
 
 @dataclass(frozen=True)

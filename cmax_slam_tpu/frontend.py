@@ -28,10 +28,32 @@ import jax
 import jax.numpy as jnp
 
 from .config import FrontendConfig
+from .io.devring import DeviceEventRing, _next_pow2
 from .io.events import EventStore
 from .ops import optim, warp_local
 from .ops.contrast import contrast
 from .utils.metrics import Metrics, logger
+
+
+def _ring_packet(idx_ring, ts_ring, beg, nvalid, S: int, cap: int,
+                 lut, cam, batch_size: int, t_ref):
+    """Assemble one packet by gathering [beg, beg+S) from the device ring.
+
+    Produces bit-identical solver inputs to the host-marshal path: the ring
+    stores the same int32 LUT index and float32 epoch-relative time the
+    (4, S) upload carried, and padding lanes are masked to the same zeros.
+    """
+    j = jnp.arange(S, dtype=jnp.int32)
+    pos = (beg + j) & (cap - 1)
+    idxs = jnp.take(idx_ring, pos)
+    tsv = jnp.take(ts_ring, pos)
+    valid = j < nvalid
+    return warp_local.EventPacket(
+        bearings=jnp.take(lut, jnp.where(valid, idxs, 0), axis=0),
+        dts=warp_local.batch_midpoint_dts(
+            jnp.where(valid, tsv, 0.0), valid, batch_size, t_ref),
+        weights=valid.astype(jnp.float32),
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -94,6 +116,61 @@ def _build_packet_solver(cam, batch_size: int, blur_sigma: float,
                 make_f(max(blur_sigma, 1.0) * 3.0), x0,
                 o.max_line_searches // 2,
             )
+            x0 = coarse.x
+            iters_coarse = coarse.iters
+        res = minimize(make_f(blur_sigma), x0, o.max_line_searches)
+        packed = jnp.concatenate([
+            res.x,
+            jnp.stack([res.fun,
+                       (res.iters + iters_coarse).astype(jnp.float32)]),
+        ])
+        return res.x, packed
+
+    return solve
+
+
+@functools.lru_cache(maxsize=None)
+def _build_packet_solver_ring(cam, batch_size: int, blur_sigma: float,
+                              measure: int, o, coarse_to_fine: bool,
+                              precision: str, S: int, cap: int):
+    """Ring-sourced variant of _build_packet_solver: the packet is gathered
+    on device from the resident event ring (io/devring.py) instead of being
+    re-uploaded, so a packet dispatch costs only five scalars on the link."""
+
+    impl = "xla" if o.ladder in ("vector", "grid") else "auto"
+
+    @jax.jit
+    def solve(idx_ring, ts_ring, beg, nvalid, t_ref, omega0, lut):
+        packet = _ring_packet(idx_ring, ts_ring, beg, nvalid, S, cap,
+                              lut, cam, batch_size, t_ref)
+
+        def make_f(sigma):
+            def f(omega):
+                iwe = warp_local.local_iwe(omega, packet, cam, sigma,
+                                           precision, impl=impl)
+                return -contrast(iwe, measure)
+            return f
+
+        def minimize(f, x0, max_ls):
+            return optim.minimize_fr_cg(
+                jax.value_and_grad(f), x0, f_fn=f,
+                max_line_searches=max_ls,
+                initial_step=o.initial_step,
+                line_search_tol=o.line_search_tol,
+                grad_tol=o.grad_tol,
+                fun_tol=o.fun_tol,
+                max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+                stagnation_patience=o.stagnation_patience,
+                secant_refine_evals=o.secant_refine_evals,
+                ladder=o.ladder,
+                cg_variant=o.cg_variant,
+            )
+
+        x0 = omega0
+        iters_coarse = 0
+        if coarse_to_fine:
+            coarse = minimize(make_f(max(blur_sigma, 1.0) * 3.0), x0,
+                              o.max_line_searches // 2)
             x0 = coarse.x
             iters_coarse = coarse.iters
         res = minimize(make_f(blur_sigma), x0, o.max_line_searches)
@@ -217,6 +294,87 @@ def _build_stride_solver(cam, batch_size: int, blur_sigma: float,
     return solve
 
 
+@functools.lru_cache(maxsize=None)
+def _build_stride_solver_ring(cam, batch_size: int, blur_sigma: float,
+                              measure: int, o, coarse_to_fine: bool,
+                              precision: str, S: int, cap: int):
+    """Ring-sourced variant of _build_stride_solver: each lane gathers its
+    (overlapping) packet from the device-resident event ring instead of
+    receiving a re-uploaded (P, 4, S) tensor. Identical scan/warm-start/
+    degenerate semantics; only the event source differs. At ECRot-shed
+    geometry (20k packets, 5k stride spacing) this cuts per-stride upload
+    from ~P*4*S*4 bytes to ~4*P scalars."""
+
+    impl = "xla" if o.ladder in ("vector", "grid") else "auto"
+
+    def minimize(f, x0, max_ls):
+        return optim.minimize_fr_cg(
+            jax.value_and_grad(f), x0, f_fn=f,
+            max_line_searches=max_ls,
+            initial_step=o.initial_step,
+            line_search_tol=o.line_search_tol,
+            grad_tol=o.grad_tol,
+            fun_tol=o.fun_tol,
+            max_fevals_per_linesearch=o.max_fevals_per_linesearch,
+            stagnation_patience=o.stagnation_patience,
+            secant_refine_evals=o.secant_refine_evals,
+            ladder=o.ladder,
+            cg_variant=o.cg_variant,
+        )
+
+    @jax.jit
+    def solve(idx_ring, ts_ring, begs, ns, t_refs, flags, omega0, lut):
+        """begs/ns: (P,) int32 ring offsets / valid counts; t_refs: (P,);
+        flags: (P,) lane kind (1 live, 0 degenerate, -1 bucket padding);
+        omega0: (3,) warm start. Returns (omega_next, packed (P, 5))."""
+
+        def solve_lane(beg, nv, t_ref, om0):
+            def fsig(sigma):
+                packet = _ring_packet(idx_ring, ts_ring, beg, nv, S, cap,
+                                      lut, cam, batch_size, t_ref)
+
+                def f(omega):
+                    iwe = warp_local.local_iwe(omega, packet, cam, sigma,
+                                               precision, impl=impl)
+                    return -contrast(iwe, measure)
+
+                return f
+
+            x0 = om0
+            iters_coarse = 0
+            if coarse_to_fine:
+                coarse = minimize(fsig(max(blur_sigma, 1.0) * 3.0), x0,
+                                  o.max_line_searches // 2)
+                x0 = coarse.x
+                iters_coarse = coarse.iters
+            res = minimize(fsig(blur_sigma), x0, o.max_line_searches)
+            packed = jnp.concatenate([
+                res.x,
+                jnp.stack([res.fun,
+                           (res.iters + iters_coarse).astype(jnp.float32)]),
+            ])
+            return res.x, packed
+
+        def step(om, lane):
+            beg, nv, t_ref, flag = lane
+
+            def live(_):
+                return solve_lane(beg, nv, t_ref, om)
+
+            def dead(_):
+                om_next = jnp.where(flag < 0, om, jnp.zeros(3, jnp.float32))
+                return om_next, jnp.zeros(5, jnp.float32)
+
+            om_new, packed = jax.lax.cond(flag > 0, live, dead, None)
+            return om_new, packed
+
+        omega_next, packed = jax.lax.scan(
+            step, omega0, (begs, ns, t_refs, flags))
+        return omega_next, packed
+
+    return solve
+
+
 @dataclass
 class AngVelEstimate:
     """One packet's angular-velocity estimate.
@@ -263,6 +421,17 @@ class Frontend:
         # pad to a multiple of the event batch size for batch-midpoint dts
         bs = cfg.warp.event_batch_size
         self.packet_size = ((self.packet_size + bs - 1) // bs) * bs
+
+        # Device-resident event ring (io/devring.py): events cross the
+        # host->device link once at 8 B each; the solvers gather their
+        # overlapping packets from the ring on device. Auto capacity covers
+        # >= 16 packets of reach-back (min 2M events = 16 MiB HBM); strides
+        # whose packets have been lapped fall back to host marshalling.
+        self._ring: Optional[DeviceEventRing] = None
+        if cfg.device_store:
+            cap = cfg.device_store_capacity or max(16 * self.packet_size,
+                                                   1 << 21)
+            self._ring = DeviceEventRing(_next_pow2(cap), cam.width)
 
         self._initialized = False
         # Finalize (fetch) packet results as they are returned. The system
@@ -322,6 +491,11 @@ class Frontend:
         ]
         self.omega = np.asarray(d["fe_omega"], np.float64)
         self._inflight = None
+        if self._ring is not None:
+            # The ring is never serialized; rebuild it from the restored
+            # EventStore's resident window so post-resume packets that
+            # reach back into pre-checkpoint events stay on the fast path.
+            self._ring.resync(self.store, self._t0)
 
     @property
     def omega(self) -> np.ndarray:
@@ -360,6 +534,8 @@ class Frontend:
             self._initialized = True
 
         self.store.append(xs, ys, ts, ps)
+        if self._ring is not None:
+            self._ring.append(xs, ys, (ts - self._t0).astype(np.float32))
         self._scan_triggers()
         return self._process_ready_packets()
 
@@ -493,6 +669,15 @@ class Frontend:
             cfg.warp.precision, sweeps,
         )
 
+    def _get_stride_solver_ring(self, sweeps: int):
+        del sweeps  # same chain for any value >= 1 (see _build_stride_solver)
+        cfg = self.cfg
+        return _build_stride_solver_ring(
+            self.cam, cfg.warp.event_batch_size, cfg.warp.blur_sigma,
+            cfg.contrast_measure, cfg.optim, cfg.coarse_to_fine,
+            cfg.warp.precision, self.packet_size, self._ring.capacity,
+        )
+
     def _process_packets_batched(self, ready, sweeps: int
                                  ) -> List[AngVelEstimate]:
         """Solve a whole stride's packets in one vmapped device program
@@ -502,13 +687,14 @@ class Frontend:
         cfg = self.cfg
         S = self.packet_size
         bucket = self._lane_bucket(len(ready))
-        evP = np.zeros((bucket, 4, S), np.float32)
         t_refs = np.zeros(bucket, np.float32)
         flags = np.full(bucket, -1.0, np.float32)  # bucket padding
+        begs = np.zeros(bucket, np.int64)
+        ns = np.zeros(bucket, np.int32)
         ests: List[AngVelEstimate] = []
         solved: List[bool] = []
         for i, (beg, end) in enumerate(ready):
-            xs, ys, ts, _ = self.store.slice_abs(beg, end)
+            _, _, ts, _ = self.store.slice_abs(beg, end)
             n = len(ts)
             t_packet = self._t_packet
             self._t_packet += cfg.dt_ang_vel  # slideWindow
@@ -518,22 +704,42 @@ class Frontend:
             est = AngVelEstimate(t=t_packet, omega=np.zeros(3), cost=0.0,
                                  iters=0, num_events=n, span=(beg, end))
             flags[i] = 0.0 if degenerate else 1.0
+            begs[i] = beg
+            ns[i] = n
             if not degenerate:
-                evP[i, 0, :n] = xs
-                evP[i, 1, :n] = ys
-                evP[i, 2, :n] = (ts - self._t0).astype(np.float32)
-                evP[i, 3, :n] = 1.0
                 self.metrics.count("frontend.events", n)
             solved.append(not degenerate)
             ests.append(est)
             self.estimates.append(est)
 
-        solver = self._get_stride_solver(sweeps)
+        ring = self._ring
+        use_ring = ring is not None and ring.resident(int(begs[:len(ready)].min()))
         with self.metrics.timer("frontend.solve"):
-            omega_next, packed = solver(
-                jnp.asarray(evP), jnp.asarray(t_refs), jnp.asarray(flags),
-                self._omega_dev, self.lut,
-            )
+            if use_ring:
+                idx_ring, ts_ring = ring.buffers
+                solver = self._get_stride_solver_ring(sweeps)
+                omega_next, packed = solver(
+                    idx_ring, ts_ring,
+                    jnp.asarray((begs & (ring.capacity - 1)).astype(np.int32)),
+                    jnp.asarray(ns), jnp.asarray(t_refs), jnp.asarray(flags),
+                    self._omega_dev, self.lut,
+                )
+            else:
+                evP = np.zeros((bucket, 4, S), np.float32)
+                for i, (beg, end) in enumerate(ready):
+                    if not solved[i]:
+                        continue
+                    xs, ys, ts, _ = self.store.slice_abs(beg, end)
+                    n = len(ts)
+                    evP[i, 0, :n] = xs
+                    evP[i, 1, :n] = ys
+                    evP[i, 2, :n] = (ts - self._t0).astype(np.float32)
+                    evP[i, 3, :n] = 1.0
+                solver = self._get_stride_solver(sweeps)
+                omega_next, packed = solver(
+                    jnp.asarray(evP), jnp.asarray(t_refs), jnp.asarray(flags),
+                    self._omega_dev, self.lut,
+                )
         # Warm-start handover: the scan carry already encodes the sequential
         # semantics (last live lane's solution; zero after a trailing
         # degenerate packet; unchanged across bucket padding).
@@ -561,22 +767,36 @@ class Frontend:
             self.estimates.append(est)
             return est
 
-        S = self.packet_size
-        evdata = np.zeros((4, S), np.float32)
-        evdata[0, :n] = xs
-        evdata[1, :n] = ys
-        evdata[2, :n] = (ts - self._t0).astype(np.float32)
-        evdata[3, :n] = 1.0
-
+        ring = self._ring
         with self.metrics.timer("frontend.solve"):
-            # Asynchronous dispatch: ONE upload + ONE fused program per
-            # packet; the warm start is handed over as a device array, so
-            # back-to-back packet solves chain on device with no host round
-            # trip in between.
-            omega, packed = self._solve(
-                jnp.asarray(evdata), np.float32(t_packet - self._t0),
-                self._omega_dev, self.lut,
-            )
+            # Asynchronous dispatch: ONE fused program per packet; the warm
+            # start is handed over as a device array, so back-to-back packet
+            # solves chain on device with no host round trip in between.
+            # Ring-resident packets skip the (4, S) upload entirely.
+            if ring is not None and ring.resident(beg):
+                idx_ring, ts_ring = ring.buffers
+                solver = _build_packet_solver_ring(
+                    self.cam, cfg.warp.event_batch_size, cfg.warp.blur_sigma,
+                    cfg.contrast_measure, cfg.optim, cfg.coarse_to_fine,
+                    cfg.warp.precision, self.packet_size, ring.capacity,
+                )
+                omega, packed = solver(
+                    idx_ring, ts_ring,
+                    np.int32(beg & (ring.capacity - 1)), np.int32(n),
+                    np.float32(t_packet - self._t0), self._omega_dev,
+                    self.lut,
+                )
+            else:
+                S = self.packet_size
+                evdata = np.zeros((4, S), np.float32)
+                evdata[0, :n] = xs
+                evdata[1, :n] = ys
+                evdata[2, :n] = (ts - self._t0).astype(np.float32)
+                evdata[3, :n] = 1.0
+                omega, packed = self._solve(
+                    jnp.asarray(evdata), np.float32(t_packet - self._t0),
+                    self._omega_dev, self.lut,
+                )
 
         self._omega_dev = omega
         self.metrics.count("frontend.events", n)

@@ -53,92 +53,49 @@ cam = CameraParams(fx=FX, fy=FY, cx=W / 2, cy=H / 2, width=W, height=H)
 lut = bearing_lut(calib)
 
 buckets = {k: 0.0 for k in
-           ["append", "scan", "marshal", "upload", "dispatch", "finalize"]}
+           ["append", "ring_upload", "scan", "stride", "finalize"]}
 
-orig_batched = Frontend._process_packets_batched
+_ORIG = {
+    "append": __import__("cmax_slam_tpu.io.events", fromlist=["EventStore"]
+                         ).EventStore.append,
+    "scan": Frontend._scan_triggers,
+    "stride": Frontend._process_packets_batched,
+    "finalize": Frontend.finalize_batch,
+}
+
+
+def _timed(bucket, orig):
+    def wrapper(self, *a, **k):
+        t0 = time.perf_counter()
+        r = orig(self, *a, **k)
+        buckets[bucket] += time.perf_counter() - t0
+        return r
+    return wrapper
 
 
 def run(instrumented: bool):
     fe = Frontend(cam, lut, cfg.frontend)
 
     if instrumented:
-        def patched(self, ready, sweeps):
+        # Wrap the REAL methods (no duplicated internals) so the probe
+        # measures whatever packet-source path the library actually takes
+        # (device ring vs host marshal). "stride" = per-stride host time in
+        # _process_packets_batched incl. marshal-or-index build + dispatch.
+        from cmax_slam_tpu.io.events import EventStore
+        from cmax_slam_tpu.io.devring import DeviceEventRing
+        EventStore.append = _timed("append", _ORIG["append"])
+        Frontend._scan_triggers = _timed("scan", _ORIG["scan"])
+        Frontend._process_packets_batched = _timed("stride", _ORIG["stride"])
+        Frontend.finalize_batch = _timed("finalize", _ORIG["finalize"])
+        orig_ring = DeviceEventRing.append
+
+        def ring_append(self, *a, **k):
             t0 = time.perf_counter()
-            cfgf = self.cfg
-            S = self.packet_size
-            bucket = self._lane_bucket(len(ready))
-            evP = np.zeros((bucket, 4, S), np.float32)
-            t_refs = np.zeros(bucket, np.float32)
-            flags = np.full(bucket, -1.0, np.float32)
-            ests, solved = [], []
-            for i, (beg, end) in enumerate(ready):
-                xs, ys, ts, _ = self.store.slice_abs(beg, end)
-                nn = len(ts)
-                t_packet = self._t_packet
-                self._t_packet += cfgf.dt_ang_vel
-                t_refs[i] = t_packet - self._t0
-                timespan = float(ts[-1] - ts[0]) if nn else 0.0
-                degenerate = timespan > 10.0 * cfgf.dt_ang_vel or nn < 2
-                est = fe_mod.AngVelEstimate(
-                    t=t_packet, omega=np.zeros(3), cost=0.0, iters=0,
-                    num_events=nn, span=(beg, end))
-                flags[i] = 0.0 if degenerate else 1.0
-                if not degenerate:
-                    evP[i, 0, :nn] = xs
-                    evP[i, 1, :nn] = ys
-                    evP[i, 2, :nn] = (ts - self._t0).astype(np.float32)
-                    evP[i, 3, :nn] = 1.0
-                solved.append(not degenerate)
-                ests.append(est)
-                self.estimates.append(est)
-            t1 = time.perf_counter(); buckets["marshal"] += t1 - t0
-            evP_d = jnp.asarray(evP)
-            t_refs_d = jnp.asarray(t_refs)
-            flags_d = jnp.asarray(flags)
-            jax.block_until_ready(evP_d)
-            t2 = time.perf_counter(); buckets["upload"] += t2 - t1
-            solver = self._get_stride_solver(sweeps)
-            omega_next, packed = solver(evP_d, t_refs_d, flags_d,
-                                        self._omega_dev, self.lut)
-            self._omega_dev = omega_next
-            for i, est in enumerate(ests):
-                if solved[i]:
-                    est.packed = (packed, i)
-            buckets["dispatch"] += time.perf_counter() - t2
-            return ests
-
-        Frontend._process_packets_batched = patched
-
-        orig_push = Frontend.push_events
-
-        def push(self, xs, ys, ts, ps):
-            ts = np.asarray(ts, np.float64)
-            if len(ts) == 0:
-                return []
-            if not self._initialized:
-                self._t0 = float(ts[0])
-                self._t_packet = float(ts[0]) + 0.5 * self.cfg.dt_ang_vel
-                self._cursor = self._t_packet
-                self._initialized = True
-            t0 = time.perf_counter()
-            self.store.append(xs, ys, ts, ps)
-            t1 = time.perf_counter(); buckets["append"] += t1 - t0
-            self._scan_triggers()
-            t2 = time.perf_counter(); buckets["scan"] += t2 - t1
-            out = self._process_ready_packets()
-            return out
-
-        Frontend.push_events = push
-
-        orig_fin = Frontend.finalize_batch
-
-        def fin(self, ests, extra_handles=()):
-            t0 = time.perf_counter()
-            r = orig_fin(self, ests, extra_handles)
-            buckets["finalize"] += time.perf_counter() - t0
+            r = orig_ring(self, *a, **k)
+            buckets["ring_upload"] += time.perf_counter() - t0
             return r
 
-        Frontend.finalize_batch = fin
+        DeviceEventRing.append = ring_append
 
     t0 = time.perf_counter()
     for i in range(0, n, CHUNK):
